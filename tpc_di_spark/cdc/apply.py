@@ -1,0 +1,157 @@
+"""CDC apply: LWW dedup + SCD2 expire-and-insert merge, all DataFrame ops.
+
+Semantics re-expressed from the reference:
+
+- **LWW fold before merge** — the reference folds multiple updates for one
+  key into the final record before writing (`Historical/DimCustomer.py:
+  634-657`, SURVEY A7). Here: ``max_by(struct(all_cols), struct(ts,
+  cdc_dsn))`` per ``(conv_id, turn_idx)``. Mandatory: MERGE needs unique
+  source keys, and it is what makes "a key updated twice in one batch"
+  yield exactly one closed + one current row.
+- **SCD2 expire-and-insert** — the reference's UPDATE ... SET
+  IsCurrent=false, EndDate=now + INSERT new version per key
+  (`Incremental1/IncrementalCustomer.py:640-712`, SURVEY M1), expressed as
+  one full-outer join producing (kept ∪ closed ∪ new-current) rows,
+  rewritten copy-on-write into only the touched buckets.
+- **Update field retention** — 'U' events with NULL payload fields retain
+  the current row's values, echoing UPDACCT "fields not present retain
+  current values" (`Historical/dim_account.py:51-63`, SURVEY P7):
+  ``coalesce(source.field, target.field)``.
+- **Deletes** — the reference has no 'D' flag (closest analogue:
+  CLOSEACCT/INACT → status INACTIVE); the north_rule adds them. 'D'
+  closes the current row and inserts nothing. 'U' for an absent key
+  upserts (insert), matching MERGE WHEN NOT MATCHED semantics (SURVEY M3).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from tpc_di_spark.lake.table import LakeTable
+from tpc_di_spark.schemas import END_OF_TIME, KEY_COLS, SEQ_COLS
+
+LINEAGE_COLS = ("is_current", "effective_ts", "end_ts", "batch_id")
+ENVELOPE_COLS = ("cdc_flag", "cdc_dsn")
+
+
+def data_cols(table: LakeTable) -> list[str]:
+    """Table columns that carry payload (everything but lineage)."""
+    return [f.name for f in table.schema.fields if f.name not in LINEAGE_COLS]
+
+
+def lww_dedup(
+    events: DataFrame,
+    key_cols: Sequence[str] = KEY_COLS,
+    seq_cols: Sequence[str] = SEQ_COLS,
+) -> DataFrame:
+    """Last-writer-wins fold: one event per key, the one with the greatest
+    (ts, cdc_dsn). A single shuffle with map-side partial aggregation —
+    ``max_by`` combines per-partition before exchanging, so a hot key
+    costs O(partitions), not O(events). SURVEY A7.
+    """
+    payload = F.struct(*[F.col(c) for c in events.columns])
+    order = F.struct(*[F.col(c) for c in seq_cols])
+    return (
+        events.groupBy(*key_cols)
+        .agg(F.max_by(payload, order).alias("_e"))
+        .select("_e.*")
+    )
+
+
+def align_events(events: DataFrame, table: LakeTable) -> DataFrame:
+    """Project events onto envelope + the table's payload columns, adding
+    NULL for payload columns the batch predates (pre-evolution events have
+    no ``tool``) and rejecting unknown columns (callers evolve the schema
+    first — see CdcOrchestrator.apply_batch).
+    """
+    wanted = list(ENVELOPE_COLS) + data_cols(table)
+    have = set(events.columns)
+    unknown = have - set(wanted)
+    if unknown:
+        raise ValueError(
+            f"events carry columns {sorted(unknown)} not in the table schema; "
+            "evolve the table schema before applying"
+        )
+    table_fields = {f.name: f for f in table.schema.fields}
+    cols = []
+    for c in wanted:
+        if c in have:
+            cols.append(F.col(c))
+        else:
+            cols.append(F.lit(None).cast(table_fields[c].dataType).alias(c))
+    return events.select(*cols)
+
+
+def merge_batch_rows(
+    target: DataFrame,
+    events: DataFrame,
+    batch_id: int,
+    table: LakeTable,
+) -> DataFrame:
+    """Compute the full replacement row set for the touched buckets.
+
+    ``target`` is the bucket-pruned current table content (all versions);
+    ``events`` is the LWW-deduped, schema-aligned batch slice for the same
+    buckets. Returns history ∪ kept ∪ closed ∪ new-current with lineage
+    columns, ready to be written copy-on-write.
+    """
+    key = list(table.key_cols)
+    payload = [c for c in data_cols(table) if c not in key]
+
+    history = target.filter(~F.col("is_current"))
+    current = target.filter(F.col("is_current"))
+
+    t = current.alias("t")
+    s = events.alias("s")
+    cond = F.lit(True)
+    for k in key:
+        cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+    j = t.join(s, cond, "full_outer")
+
+    t_present = F.col(f"t.{key[0]}").isNotNull()
+    s_present = F.col(f"s.{key[0]}").isNotNull()
+
+    # Branch 1: every pre-existing current row — closed if an event hit its
+    # key (I/U/D all expire the old version; SURVEY M1), kept verbatim
+    # otherwise.
+    kept_or_closed = j.filter(t_present).select(
+        *[F.col(f"t.{k}").alias(k) for k in key],
+        *[F.col(f"t.{c}").alias(c) for c in payload],
+        F.when(s_present, F.lit(False)).otherwise(F.col("t.is_current")).alias("is_current"),
+        F.col("t.effective_ts").alias("effective_ts"),
+        F.when(s_present, F.col("s.ts")).otherwise(F.col("t.end_ts")).alias("end_ts"),
+        F.col("t.batch_id").alias("batch_id"),
+    )
+
+    # Branch 2: new current versions for I/U events (D inserts nothing).
+    is_update = F.col("s.cdc_flag") == F.lit("U")
+    new_current = j.filter(s_present & (F.col("s.cdc_flag") != F.lit("D"))).select(
+        *[F.col(f"s.{k}").alias(k) for k in key],
+        *[
+            F.when(is_update & t_present, F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in payload
+        ],
+        F.lit(True).alias("is_current"),
+        F.col("s.ts").alias("effective_ts"),
+        F.to_timestamp(F.lit(END_OF_TIME)).alias("end_ts"),
+        F.lit(batch_id).cast("int").alias("batch_id"),
+    )
+
+    out_cols = [f.name for f in table.schema.fields]
+    return (
+        history.select(*out_cols)
+        .unionByName(kept_or_closed.select(*out_cols))
+        .unionByName(new_current.select(*out_cols))
+    )
+
+
+def current_state(table: LakeTable, snapshot=None) -> DataFrame:
+    """The live view: one row per surviving (conv_id, turn_idx)."""
+    return table.read(snapshot=snapshot).filter(F.col("is_current")).select(
+        *data_cols(table)
+    )

@@ -1,0 +1,386 @@
+"""LakeTable — a from-scratch transactional bucketed-parquet table format.
+
+This is the engine's lake sink, playing the role Iceberg plays in the
+design (no Iceberg jars exist in this environment, so the table format is
+built from first principles with the same guarantees):
+
+- **Snapshot log**: every commit writes an immutable JSON snapshot listing
+  the live data files per bucket; the table's current state is whatever
+  snapshot the ``VERSION`` pointer names. Readers never see partial writes.
+- **Atomic commits**: ``VERSION`` is replaced via POSIX ``os.rename`` (atomic
+  on a single filesystem); an optimistic parent check rejects concurrent
+  writers. Data files are written *before* the snapshot, so a crash at any
+  point leaves only unreferenced orphans, never a corrupt table.
+- **Copy-on-write MERGE**: an upsert rewrites only the buckets its source
+  keys hash into; untouched buckets carry their old files forward by
+  reference. At 10^10 rows a batch touching 1% of conversations rewrites
+  ~1% of the table — this is what makes the design scale.
+- **Key-hash bucketing = salting**: rows are bucketed by
+  ``pmod(xxhash64(conv_id, turn_idx), B)``. Hashing the *full* business key
+  (not just ``conv_id``) is the salting strategy for hot conversations —
+  a conversation with 10^6 turns spreads uniformly over all buckets instead
+  of melting one partition, while every version of a single
+  ``(conv_id, turn_idx)`` key still lands in exactly one bucket, so MERGE
+  joins stay bucket-local.
+- **Schema evolution**: the snapshot carries the table schema; adding a
+  column is a metadata-only commit. Old files are read through the new
+  schema (Spark null-fills missing parquet columns), mirroring Iceberg's
+  `ALTER TABLE ADD COLUMN` (reference gap: the TPC-DI code hand-declares
+  schemas twice and cannot evolve, `Historical/DimCustomer.py:521-563`).
+- **Exactly-once**: each snapshot records the set of committed batch ids;
+  re-applying a committed batch is a metadata no-op (idempotent replay,
+  the property the reference's per-row INSERTs lack,
+  `Incremental1/IncrementalAccount.py:218-343`).
+- **Time travel**: any historical snapshot remains readable by id.
+
+Single-writer by design (the orchestrator serializes batches, matching the
+reference's strictly sequential Batch2 → Batch3 model, report §4.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_META = "_meta"
+_DATA = "data"
+_VERSION = "VERSION"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed since this snapshot was loaded."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    schema_json: dict
+    num_buckets: int
+    key_cols: list[str]
+    bucket_cols: list[str]
+    files: dict[str, list[str]]  # bucket id (str) -> table-relative paths
+    committed_batches: list[int]
+    summary: dict = field(default_factory=dict)
+    properties: dict = field(default_factory=dict)
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.schema_json)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "schema": self.schema_json,
+            "num_buckets": self.num_buckets,
+            "key_cols": self.key_cols,
+            "bucket_cols": self.bucket_cols,
+            "files": self.files,
+            "committed_batches": self.committed_batches,
+            "summary": self.summary,
+            "properties": self.properties,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d.get("parent_id"),
+            schema_json=d["schema"],
+            num_buckets=d["num_buckets"],
+            key_cols=d["key_cols"],
+            bucket_cols=d["bucket_cols"],
+            files={k: list(v) for k, v in d["files"].items()},
+            committed_batches=list(d.get("committed_batches", [])),
+            summary=d.get("summary", {}),
+            properties=d.get("properties", {}),
+        )
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+class LakeTable:
+    """Handle to one transactional table rooted at ``path``."""
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, spark: SparkSession, path: str, snapshot: Snapshot):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.snapshot = snapshot
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        num_buckets: int = 16,
+        key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+        bucket_cols: Sequence[str] | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        path = os.path.abspath(path)
+        meta = os.path.join(path, _META)
+        if os.path.exists(os.path.join(meta, _VERSION)):
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(meta, exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            schema_json=schema.jsonValue(),
+            num_buckets=num_buckets,
+            key_cols=list(key_cols),
+            bucket_cols=list(bucket_cols or key_cols),
+            files={},
+            committed_batches=[],
+            summary={"operation": "create"},
+            properties=properties or {},
+        )
+        snap_name = cls._snap_name(0)
+        _atomic_write(os.path.join(meta, snap_name), json.dumps(snap.to_json()))
+        _atomic_write(os.path.join(meta, _VERSION), snap_name)
+        return cls(spark, path, snap)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        path = os.path.abspath(path)
+        snap = cls._read_current_snapshot(path)
+        return cls(spark, path, snap)
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), _META, _VERSION))
+
+    # ------------------------------------------------------------- metadata
+    @staticmethod
+    def _snap_name(snapshot_id: int) -> str:
+        return f"snap-{snapshot_id:08d}.json"
+
+    @classmethod
+    def _read_current_snapshot(cls, path: str) -> Snapshot:
+        meta = os.path.join(path, _META)
+        with open(os.path.join(meta, _VERSION)) as f:
+            snap_name = f.read().strip()
+        with open(os.path.join(meta, snap_name)) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def refresh(self) -> "LakeTable":
+        self.snapshot = self._read_current_snapshot(self.path)
+        return self
+
+    @property
+    def schema(self) -> StructType:
+        return self.snapshot.schema
+
+    @property
+    def num_buckets(self) -> int:
+        return self.snapshot.num_buckets
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.snapshot.key_cols
+
+    def is_batch_committed(self, batch_id: int) -> bool:
+        return batch_id in self.snapshot.committed_batches
+
+    def read_snapshot(self, snapshot_id: int) -> Snapshot:
+        with open(os.path.join(self.path, _META, self._snap_name(snapshot_id))) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def history(self) -> list[dict]:
+        out = []
+        sid: int | None = self.snapshot.snapshot_id
+        while sid is not None:
+            s = self.read_snapshot(sid)
+            out.append({"snapshot_id": s.snapshot_id, "summary": s.summary})
+            sid = s.parent_id
+        return list(reversed(out))
+
+    # ---------------------------------------------------------------- reads
+    def bucket_expr(self, prefix: str = "") -> F.Column:
+        cols = [F.col(prefix + c) for c in self.snapshot.bucket_cols]
+        return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.BUCKET_COL, self.bucket_expr())
+
+    def read(
+        self,
+        buckets: Iterable[int] | None = None,
+        snapshot: Snapshot | None = None,
+    ) -> DataFrame:
+        """Read the table (optionally bucket-pruned / time-travelled).
+
+        Bucket pruning is the engine's partition pruning: a MERGE whose
+        source touches 3 of 128 buckets reads 3/128ths of the table.
+        """
+        snap = snapshot or self.snapshot
+        schema = snap.schema
+        wanted = (
+            set(snap.files.keys())
+            if buckets is None
+            else {str(b) for b in buckets} & set(snap.files.keys())
+        )
+        paths = [
+            os.path.join(self.path, rel) for b in sorted(wanted) for rel in snap.files[b]
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        # Explicit schema => old files null-fill evolved columns.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ---------------------------------------------------------------- writes
+    def write_data_files(self, df_with_bucket: DataFrame, commit_tag: str) -> dict[str, list[str]]:
+        """Write ``df`` (already carrying _bucket) as data files under a
+        unique commit dir; return {bucket: [relative paths]}.
+
+        ``commit_tag`` is deterministic per unit of work (e.g.
+        ``batch-0007/group-02``) so a killed-and-resumed run rewrites the
+        same directory instead of leaking a new one.
+        """
+        out_dir = os.path.join(self.path, _DATA, commit_tag)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)  # partial output from a killed attempt
+        (
+            df_with_bucket.write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(out_dir)
+        )
+        return self._list_bucket_files(out_dir)
+
+    def _list_bucket_files(self, out_dir: str) -> dict[str, list[str]]:
+        files: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith(f"{self.BUCKET_COL}="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            rels = [
+                os.path.relpath(os.path.join(bdir, f), self.path)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+            if rels:
+                files[bucket] = rels
+        return files
+
+    def append(self, df: DataFrame, batch_id: int | None = None, commit_tag: str | None = None) -> Snapshot:
+        """Bulk append (the historical-load path, SURVEY S7)."""
+        tag = commit_tag or f"append-{uuid.uuid4().hex[:12]}"
+        new_files = self.write_data_files(self.with_bucket(df), tag)
+        return self.commit(
+            new_files_by_bucket=new_files,
+            mode="append",
+            batch_id=batch_id,
+            summary={"operation": "append"},
+        )
+
+    def commit(
+        self,
+        new_files_by_bucket: dict[str, list[str]],
+        mode: str,  # 'append' | 'replace'
+        replaced_buckets: Iterable[int | str] | None = None,
+        batch_id: int | None = None,
+        new_schema: StructType | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Produce the next snapshot and atomically flip VERSION to it.
+
+        mode='append'  -> new files are added to their buckets.
+        mode='replace' -> buckets in ``replaced_buckets`` get exactly the new
+                          file lists (copy-on-write MERGE); all other buckets
+                          carry forward untouched.
+        """
+        parent = self.snapshot
+        files = {b: list(v) for b, v in parent.files.items()}
+        if mode == "append":
+            for b, fl in new_files_by_bucket.items():
+                files.setdefault(b, []).extend(fl)
+        elif mode == "replace":
+            for b in {str(x) for x in (replaced_buckets or new_files_by_bucket.keys())}:
+                files.pop(b, None)
+            for b, fl in new_files_by_bucket.items():
+                files[b] = list(fl)
+        else:
+            raise ValueError(f"unknown commit mode {mode!r}")
+
+        committed = list(parent.committed_batches)
+        if batch_id is not None:
+            if batch_id in committed:
+                # Exactly-once guard: the work was already committed.
+                return parent
+            committed.append(batch_id)
+
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            schema_json=(new_schema or parent.schema).jsonValue(),
+            num_buckets=parent.num_buckets,
+            key_cols=parent.key_cols,
+            bucket_cols=parent.bucket_cols,
+            files=files,
+            committed_batches=committed,
+            summary={**(summary or {}), "batch_id": batch_id},
+            properties=parent.properties,
+        )
+        self._flip_version(snap, expected_parent=parent.snapshot_id)
+        self.snapshot = snap
+        return snap
+
+    def evolve_schema(self, new_schema: StructType, batch_id: int | None = None) -> Snapshot:
+        """Metadata-only transactional schema evolution (added columns).
+
+        Validates the evolution is additive: every existing column must be
+        present in the new schema with the same type.
+        """
+        old = self.schema
+        new_names = {f.name: f for f in new_schema.fields}
+        for f_old in old.fields:
+            f_new = new_names.get(f_old.name)
+            if f_new is None:
+                raise ValueError(f"schema evolution may not drop column {f_old.name!r}")
+            if f_new.dataType != f_old.dataType:
+                raise ValueError(
+                    f"schema evolution may not retype {f_old.name!r}: "
+                    f"{f_old.dataType} -> {f_new.dataType}"
+                )
+        return self.commit(
+            new_files_by_bucket={},
+            mode="append",
+            batch_id=batch_id,
+            new_schema=new_schema,
+            summary={"operation": "evolve-schema", "columns": [f.name for f in new_schema.fields]},
+        )
+
+    def _flip_version(self, snap: Snapshot, expected_parent: int) -> None:
+        meta = os.path.join(self.path, _META)
+        current = self._read_current_snapshot(self.path)
+        if current.snapshot_id != expected_parent:
+            raise CommitConflict(
+                f"expected parent snapshot {expected_parent}, found {current.snapshot_id}"
+            )
+        snap_name = self._snap_name(snap.snapshot_id)
+        _atomic_write(os.path.join(meta, snap_name), json.dumps(snap.to_json()))
+        # The point of atomicity: a crash before this rename leaves the old
+        # snapshot live and the new one orphaned; after it, the new one is
+        # fully live. There is no intermediate state.
+        _atomic_write(os.path.join(meta, _VERSION), snap_name)
