@@ -1,38 +1,943 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Each query exercises one operator family from SURVEY.md §2;
+the q18 flagship runs the actual CDC engine (LakeTable + orchestrator)
+end-to-end and is oracle-checked against a pure-SQL LWW replay.
+
+Numeric discipline for cross-engine hash equality: money aggregates are
+cast to DECIMAL before summing (exact, associative — immune to partial-agg
+ordering) and cast back to DOUBLE at the end, so Spark and DuckDB produce
+bit-identical values.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEC = "decimal(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Q01 — pricing summary (grouped agg, SURVEY A-family / TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Q02 — top-1 per key (SURVEY A5: ORDER BY ... LIMIT 1 per key)
+# ---------------------------------------------------------------------------
+
+def q02_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.windows import top1_per_key
+
+    o = _t(spark, sf_dir, "orders")
+    return top1_per_key(
+        o, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+Q02_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      FROM orders) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q03 — LWW fold (SURVEY A7: last-writer-wins per key)
+# ---------------------------------------------------------------------------
+
+def q03_lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc.apply import lww_dedup
+
+    e = _t(spark, sf_dir, "events")
+    return lww_dedup(e, key_cols=["user_id"], seq_cols=["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+
+
+Q03_SQL = """
+SELECT user_id, event_id, event_type, value, ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q04 — grouped running balance (SURVEY A1)
+# ---------------------------------------------------------------------------
+
+def q04_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.windows import running_balance
+
+    e = _t(spark, sf_dir, "events").withColumn("v", F.col("value").cast(DEC))
+    out = running_balance(
+        e, ["user_id"], [F.col("ts"), F.col("event_id")], "v", alias="balance"
+    )
+    return out.select(
+        "user_id", "event_id", "ts", F.col("balance").cast("double").alias("balance")
+    )
+
+
+Q04_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Q05 — trailing 365-day high with arg-date (SURVEY A2: 52-week high/low)
+# ---------------------------------------------------------------------------
+
+def q05_trailing_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.windows import trailing_extreme_with_argdate
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("price"),
+    )
+    out = trailing_extreme_with_argdate(
+        o, key_col="custkey", date_col="order_date", value_col="price", days=365
+    )
+    return out.select(
+        "custkey",
+        "order_date",
+        F.col("ext_value").alias("high365"),
+        F.col("ext_date").alias("high365_date"),
+    )
+
+
+Q05_SQL = """
+WITH probe AS (SELECT DISTINCT o_custkey k, o_orderdate d FROM orders),
+j AS (SELECT p.k, p.d, o.o_orderdate pd, o.o_totalprice pv
+      FROM probe p JOIN orders o ON o.o_custkey = p.k
+       AND o.o_orderdate >= p.d - INTERVAL 365 DAY AND o.o_orderdate <= p.d),
+e AS (SELECT k, d, MAX(pv) ext FROM j GROUP BY k, d)
+SELECT j.k AS custkey, j.d AS order_date, e.ext AS high365, MIN(j.pd) AS high365_date
+FROM j JOIN e ON j.k = e.k AND j.d = e.d AND j.pv = e.ext
+GROUP BY j.k, j.d, e.ext
+"""
+
+# ---------------------------------------------------------------------------
+# Q06 — as-of join (SURVEY J5: temporal dimension lookup)
+# ---------------------------------------------------------------------------
+
+def q06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.temporal_join import asof_join_by_id
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    out = asof_join_by_id(
+        e, o,
+        probe_id="event_id",
+        on_probe=["user_id"], on_build=["o_custkey"],
+        probe_ts="ts", build_ts="o_orderdate",
+        tiebreak=["o_orderkey"],
+        how="inner",
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+Q06_SQL = """
+SELECT event_id, user_id, o_orderkey, o_orderdate
+FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q07 — broadcast star join (SURVEY J1-J4, J11: small-dim lookups)
+# ---------------------------------------------------------------------------
+
+def q07_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast(DEC)) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q07_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+# ---------------------------------------------------------------------------
+# Q08 — disjunctive-key join (SURVEY J6: match by name OR id)
+# ---------------------------------------------------------------------------
+
+def q08_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.temporal_join import disjunctive_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.col("o_custkey").cast("string")
+        )
+        .otherwise(F.format_string("Customer#%09d", F.col("o_custkey")))
+        .alias("cust_ref"),
+    )
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "c_custkey_str", F.col("c_custkey").cast("string")
+    )
+    out = disjunctive_join(
+        o, c,
+        probe_key="cust_ref",
+        build_key_a="c_custkey_str",
+        build_key_b="c_name",
+        select_build=["c_custkey", "c_mktsegment"],
+    )
+    return out.select("o_orderkey", "cust_ref", "c_custkey", "c_mktsegment")
+
+
+Q08_SQL = """
+WITH probe AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_custkey AS VARCHAR)
+              ELSE 'Customer#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') END AS cust_ref
+  FROM orders)
+SELECT p.o_orderkey, p.cust_ref,
+       COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(a.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+FROM probe p
+LEFT JOIN customer a ON p.cust_ref = CAST(a.c_custkey AS VARCHAR)
+LEFT JOIN customer b ON p.cust_ref = b.c_name
+"""
+
+# ---------------------------------------------------------------------------
+# Q09 — existence probe → I/U routing (SURVEY J10)
+# ---------------------------------------------------------------------------
+
+def q09_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("lk")).distinct()
+    return o.join(l, o.o_orderkey == F.col("lk"), "left").select(
+        "o_orderkey",
+        F.when(F.col("lk").isNull(), F.lit("I")).otherwise(F.lit("U")).alias("cdc_flag"),
+    )
+
+
+Q09_SQL = """
+SELECT o_orderkey,
+       CASE WHEN l.lk IS NULL THEN 'I' ELSE 'U' END AS cdc_flag
+FROM orders LEFT JOIN (SELECT DISTINCT l_orderkey AS lk FROM lineitem) l
+ON o_orderkey = l.lk
+"""
+
+# ---------------------------------------------------------------------------
+# Q10 — anti join (SURVEY J7 existence forms)
+# ---------------------------------------------------------------------------
+
+def q10_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+# ---------------------------------------------------------------------------
+# Q11 — semi join
+# ---------------------------------------------------------------------------
+
+def q11_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+Q11_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+# ---------------------------------------------------------------------------
+# Q12 — marketing nameplate (SURVEY P6)
+# ---------------------------------------------------------------------------
+
+def q12_nameplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.functions.cleaning import nameplate_tags
+
+    c = _t(spark, sf_dir, "customer")
+    tags = nameplate_tags(
+        [
+            (F.col("c_acctbal") > 7000, "HighValue"),
+            (F.col("c_acctbal") < 0, "MoneyAlert"),
+            (F.col("c_custkey") % 7 == 0, "Boomer"),
+            (F.col("c_mktsegment") == "AUTOMOBILE", "Spender"),
+        ]
+    )
+    return c.select("c_custkey", tags.alias("nameplate"))
+
+
+Q12_SQL = """
+SELECT c_custkey,
+       NULLIF(concat_ws('+',
+         CASE WHEN c_acctbal > 7000 THEN 'HighValue' END,
+         CASE WHEN c_acctbal < 0 THEN 'MoneyAlert' END,
+         CASE WHEN c_custkey % 7 = 0 THEN 'Boomer' END,
+         CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'Spender' END), '') AS nameplate
+FROM customer
+"""
+
+# ---------------------------------------------------------------------------
+# Q13 — SCD2 reconstruction from an event log (SURVEY M1 as a query)
+# ---------------------------------------------------------------------------
+
+def q13_scd2_from_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.windows import scd2_from_log
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "ts")
+    out = scd2_from_log(e, ["user_id", "event_type"], "ts")
+    return out.select(
+        "user_id", "event_type", "event_id", "effective_ts", "end_ts", "is_current"
+    )
+
+
+Q13_SQL = """
+SELECT user_id, event_type, event_id,
+       ts AS effective_ts,
+       lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) AS end_ts,
+       lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts) IS NULL AS is_current
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Q14 — change detection vs previous version (SURVEY A8)
+# ---------------------------------------------------------------------------
+
+def q14_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.windows import change_detect
+
+    o = _t(spark, sf_dir, "orders")
+    out = change_detect(
+        o,
+        key_cols=["o_custkey"],
+        order_cols=[F.col("o_orderdate"), F.col("o_orderkey")],
+        compare_cols=["o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+    return out.select("o_orderkey", "o_custkey", "changed")
+
+
+Q14_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN row_number() OVER w = 1 THEN NULL
+            ELSE (o_totalprice IS DISTINCT FROM lag(o_totalprice) OVER w)
+              OR (o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w)
+              OR (o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w)
+       END AS changed
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# ---------------------------------------------------------------------------
+# Q15 — cleaning projection (SURVEY P1, P2, P11, P13)
+# ---------------------------------------------------------------------------
+
+def q15_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.functions.cleaning import nullif_trim
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.upper(F.col("event_type")).alias("etype_norm"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        F.regexp_extract(F.col("props"), r"[0-9]+", 0).cast("int").alias("k_val"),
+        nullif_trim(F.col("event_type")).alias("etype_clean"),
+    )
+
+
+Q15_SQL = """
+SELECT event_id,
+       upper(event_type) AS etype_norm,
+       event_type = 'purchase' AS is_purchase,
+       CAST(regexp_extract(props, '[0-9]+') AS INT) AS k_val,
+       NULLIF(trim(event_type), '') AS etype_clean
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# Q16 — token counting + fingerprint (text analysis)
+# ---------------------------------------------------------------------------
+
+def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.functions.text import fingerprint64, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+    )
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    )
+
+
+Q16_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+       md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Q17 — language-ID heuristic (text analysis)
+# ---------------------------------------------------------------------------
+
+def q17_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.functions.text import lang_guess
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+Q17_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') toks
+  FROM documents),
+v AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','and','is','of','to','a','in'], x))) v_en,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht'], x))) v_de,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est'], x))) v_fr,
+    len(list_filter(toks, x -> list_contains(['el','la','los','que','es','una'], x))) v_es
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+       WHEN v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+       WHEN v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+       WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM v
+"""
+
+# ---------------------------------------------------------------------------
+# Q18 — FLAGSHIP: the CDC engine end-to-end (LakeTable + LWW + SCD2 merge),
+# oracle-checked against a pure-SQL LWW replay of the same derived events.
+# ---------------------------------------------------------------------------
+
+def _derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    turn = (eid % 50).cast("int")
+    return e.select(
+        F.when(eid % 20 == 0, "D").when(eid % 3 == 0, "U").otherwise("I").alias("cdc_flag"),
+        eid.alias("cdc_dsn"),
+        F.format_string("conv-%06d", F.col("user_id")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (eid % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.format_string("text u%d t%d e%d", F.col("user_id"), turn, eid).alias("text"),
+        F.col("ts"),
+    )
+
+
+def q18_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table_dir = tempfile.mkdtemp(prefix="cdc_q18_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    orch.apply_batch(_derive_change_events(spark, sf_dir), batch_id=1)
+    return current_state(table).select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+Q18_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev)
+SELECT conv_id, turn_idx, role, text, ts FROM r WHERE rn = 1 AND cdc_flag <> 'D'
+"""
+
+# ---------------------------------------------------------------------------
+# Q19 — exact dedup keeper selection (dedup family)
+# ---------------------------------------------------------------------------
+
+def q19_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+    )
+    return (
+        d.withColumn("fp", F.md5(norm))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+Q19_SQL = """
+SELECT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q20 — quality scoring (text analysis)
+# ---------------------------------------------------------------------------
+
+def q20_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+Q20_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         lower(trim(coalesce(text, ''))) AS lt,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+  FROM documents),
+m AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN length(t) = 0 THEN 0.0
+              ELSE (length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g'))) * 1.0 / length(t)
+         END AS punct_ratio,
+         CASE WHEN length(lt) = 0 OR len(regexp_split_to_array(lt, '\\s+')) = 0 THEN 0.0
+              ELSE len(list_filter(regexp_split_to_array(lt, '\\s+'),
+                       x -> list_contains(['the','and','is','of','to','a','in'], x))) * 1.0
+                   / len(regexp_split_to_array(lt, '\\s+'))
+         END AS stop_ratio
+  FROM b)
+SELECT doc_id,
+       round(least(n_tok / 100.0, 1.0)
+             * greatest(0.0, 1.0 - punct_ratio * 4)
+             * (0.5 + least(stop_ratio * 5, 1.0) / 2), 6) AS quality
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — trailing-sum ratio with missing-history alert (SURVEY A3: PERatio)
+# ---------------------------------------------------------------------------
+
+def q21_trailing_sum_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.windows import trailing_sum_ratio
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return trailing_sum_ratio(o, "custkey", "order_date", "price", days=365)
+
+
+Q21_SQL = """
+WITH j AS (
+  SELECT a.o_custkey k, a.o_orderdate d, a.o_totalprice v,
+         CAST(b.o_totalprice AS DECIMAL(18,2)) pv
+  FROM orders a LEFT JOIN orders b
+    ON b.o_custkey = a.o_custkey
+   AND b.o_orderdate >= a.o_orderdate - INTERVAL 365 DAY
+   AND b.o_orderdate < a.o_orderdate)
+SELECT k AS custkey, d AS order_date, v AS price,
+       CAST(SUM(pv) AS DOUBLE) AS trailing_sum,
+       v / NULLIF(CAST(SUM(pv) AS DOUBLE), 0) AS ratio,
+       SUM(pv) IS NULL AS alert_no_history
+FROM j GROUP BY k, d, v
+"""
+
+# ---------------------------------------------------------------------------
+# Q22 — brute-force cosine top-k similarity (ANN correctness baseline).
+# Dot products are exact DECIMAL sums in BOTH engines, so the doubles (and
+# therefore ranks) match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def q22_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.similarity import cosine_topk_bruteforce
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        e, "vec_id", "embedding", k=5, query_filter=F.col("vec_id") % 20 == 0
+    )
+
+
+Q22_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, v,
+         sqrt(CAST(list_sum(list_transform(v, x -> CAST(x * x AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
+  FROM base),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(q.v, c.v),
+              s -> CAST((struct_extract(s, 1) * struct_extract(s, 2)) AS DECIMAL(38,12)))) AS DOUBLE)
+           / (q.nrm * c.nrm) AS cosine
+  FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 20 = 0),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 8) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# Q23 — exact n-gram Jaccard near-duplicate pairs (dedup family)
+# ---------------------------------------------------------------------------
+
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 8).alias("jaccard"))
+
+
+Q23_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, shingle
+  FROM toks, UNNEST(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+    END) AS u(shingle)),
+sizes AS (SELECT doc, count(*) sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 8) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
+"""
+
+# ---------------------------------------------------------------------------
+# Q24 — MinHash + LSH near-dup candidates (the 100TB dedup path).
+# xxhash64 has no DuckDB equivalent -> rows-only driver check; exactness is
+# covered by unit tests and by q23 (the verifier that backs it).
+# ---------------------------------------------------------------------------
+
+def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=64)
+    cands = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    return minhash_jaccard_estimate(sigs, cands)
+
+
+# ---------------------------------------------------------------------------
+# Q25 — SimHash signatures (rows-only: xxhash64-based)
+# ---------------------------------------------------------------------------
+
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Q26 — LSH-bucketed approximate top-k (rows-only: xxhash64 hyperplanes)
+# ---------------------------------------------------------------------------
+
+def q26_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(e, "vec_id", "embedding", k=5, bits=8, tables=2, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Q27 — phone formatting + gender normalization + domain validation
+# (SURVEY P4, P5, P12, P13) over parts synthesized deterministically
+# ---------------------------------------------------------------------------
+
+def q27_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.functions.cleaning import (
+        decode_flag,
+        domain_validate,
+        format_phone,
+        gender_norm,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ctry = F.when(k % 3 == 0, F.lit(None)).otherwise((k % 99).cast("string"))
+    area = F.when(k % 5 == 0, F.lit(None)).otherwise(F.lpad((k % 1000).cast("string"), 3, "0"))
+    local = F.when(k % 11 == 0, F.lit(None)).otherwise(F.lpad((k % 10000).cast("string"), 7, "0"))
+    ext = F.when(k % 4 == 0, (k % 999).cast("string")).otherwise(F.lit(None))
+    gender_src = F.element_at(
+        F.array(F.lit("M"), F.lit("f"), F.lit("x"), F.lit("F"), F.lit("m"), F.lit(None)),
+        (k % 6 + 1).cast("int"),
+    )
+    return c.select(
+        "c_custkey",
+        format_phone(ctry, area, local, ext).alias("phone"),
+        gender_norm(gender_src).alias("gender"),
+        domain_validate(F.col("c_mktsegment"), ["BUILDING", "AUTOMOBILE", "MACHINERY"]).alias("segment_valid"),
+        (~F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")).alias("alert"),
+        decode_flag(F.when(k % 2 == 1, "1").otherwise("0")).alias("cash_flag"),
+    )
+
+
+Q27_SQL = """
+WITH parts AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE CAST(c_custkey % 99 AS VARCHAR) END AS ctry,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') END AS area,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE lpad(CAST(c_custkey % 10000 AS VARCHAR), 7, '0') END AS loc,
+         CASE WHEN c_custkey % 4 = 0 THEN CAST(c_custkey % 999 AS VARCHAR) ELSE NULL END AS ext,
+         CASE CAST(c_custkey % 6 AS INT) WHEN 0 THEN 'M' WHEN 1 THEN 'f' WHEN 2 THEN 'x'
+              WHEN 3 THEN 'F' WHEN 4 THEN 'm' ELSE NULL END AS gsrc
+  FROM customer),
+fmt AS (
+  SELECT *,
+         CASE WHEN ctry IS NOT NULL AND area IS NOT NULL THEN '+' || ctry || ' (' || area || ') ' || loc
+              WHEN area IS NOT NULL THEN '(' || area || ') ' || loc
+              ELSE loc END AS base
+  FROM parts)
+SELECT c_custkey,
+       CASE WHEN loc IS NULL THEN NULL
+            WHEN ext IS NOT NULL THEN base || ' ' || ext
+            ELSE base END AS phone,
+       CASE WHEN upper(gsrc) IN ('M','F') THEN upper(gsrc) ELSE 'U' END AS gender,
+       CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY') THEN c_mktsegment END AS segment_valid,
+       c_mktsegment NOT IN ('BUILDING','AUTOMOBILE','MACHINERY') AS alert,
+       c_custkey % 2 = 1 AS cash_flag
+FROM fmt
+"""
+
+# ---------------------------------------------------------------------------
+# Q28 — surrogate-key cascade re-pointing (SURVEY M2) as a query: facts
+# re-pointed from an SK remap derived from "changed" customers
+# ---------------------------------------------------------------------------
+
+def q28_sk_repoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    remap = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("old_sk"),
+        (F.col("c_custkey") + 1_000_000).alias("new_sk"),
+    )
+    return o.join(F.broadcast(remap), o.o_custkey == remap.old_sk, "left").select(
+        "o_orderkey",
+        F.coalesce(F.col("new_sk"), F.col("o_custkey")).alias("sk_custkey"),
+        F.col("new_sk").isNotNull().alias("repointed"),
+    )
+
+
+Q28_SQL = """
+SELECT o_orderkey,
+       COALESCE(r.new_sk, o_custkey) AS sk_custkey,
+       r.new_sk IS NOT NULL AS repointed
+FROM orders LEFT JOIN (
+  SELECT c_custkey AS old_sk, c_custkey + 1000000 AS new_sk
+  FROM customer WHERE c_custkey % 10 = 0) r
+ON o_custkey = r.old_sk
+"""
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_latest_order_per_customer": q02_latest_order_per_customer,
+    "q03_lww_latest_event": q03_lww_latest_event,
+    "q04_running_balance": q04_running_balance,
+    "q05_trailing_high": q05_trailing_high,
+    "q06_asof_join": q06_asof_join,
+    "q07_star_join_revenue": q07_star_join_revenue,
+    "q08_disjunctive_join": q08_disjunctive_join,
+    "q09_existence_flag": q09_existence_flag,
+    "q10_customers_without_orders": q10_customers_without_orders,
+    "q11_customers_with_urgent_orders": q11_customers_with_urgent_orders,
+    "q12_nameplate": q12_nameplate,
+    "q13_scd2_from_log": q13_scd2_from_log,
+    "q14_change_detect": q14_change_detect,
+    "q15_clean_project": q15_clean_project,
+    "q16_token_stats": q16_token_stats,
+    "q17_lang_guess": q17_lang_guess,
+    "q18_cdc_replay_final_state": q18_cdc_replay_final_state,
+    "q19_exact_dedup": q19_exact_dedup,
+    "q20_quality_score": q20_quality_score,
+    "q21_trailing_sum_ratio": q21_trailing_sum_ratio,
+    "q22_cosine_topk": q22_cosine_topk,
+    "q23_ngram_jaccard": q23_ngram_jaccard,
+    "q24_minhash_lsh": q24_minhash_lsh,
+    "q25_simhash": q25_simhash,
+    "q26_lsh_topk": q26_lsh_topk,
+    "q27_scalar_functions": q27_scalar_functions,
+    "q28_sk_repoint": q28_sk_repoint,
+}
+
+_ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_latest_order_per_customer": Q02_SQL,
+    "q03_lww_latest_event": Q03_SQL,
+    "q04_running_balance": Q04_SQL,
+    "q05_trailing_high": Q05_SQL,
+    "q06_asof_join": Q06_SQL,
+    "q07_star_join_revenue": Q07_SQL,
+    "q08_disjunctive_join": Q08_SQL,
+    "q09_existence_flag": Q09_SQL,
+    "q10_customers_without_orders": Q10_SQL,
+    "q11_customers_with_urgent_orders": Q11_SQL,
+    "q12_nameplate": Q12_SQL,
+    "q13_scd2_from_log": Q13_SQL,
+    "q14_change_detect": Q14_SQL,
+    "q15_clean_project": Q15_SQL,
+    "q16_token_stats": Q16_SQL,
+    "q17_lang_guess": Q17_SQL,
+    "q18_cdc_replay_final_state": Q18_SQL,
+    "q19_exact_dedup": Q19_SQL,
+    "q20_quality_score": Q20_SQL,
+    "q21_trailing_sum_ratio": Q21_SQL,
+    "q22_cosine_topk": Q22_SQL,
+    "q23_ngram_jaccard": Q23_SQL,
+    # q24/q25/q26 are xxhash64-based (MinHash-LSH, SimHash, hyperplane
+    # LSH); DuckDB has no matching hash -> rows-only driver check.
+    "q27_scalar_functions": Q27_SQL,
+    "q28_sk_repoint": Q28_SQL,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (3 batches, schema evolution on batch 3)
+    of change events derived from sf0.001 into a fresh LakeTable; returns
+    the final transcript state."""
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _derive_change_events(spark, sf_dir)
+    table_dir = tempfile.mkdtemp(prefix="cdc_entry_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=8)
+    third = ev.filter(F.col("cdc_dsn") % 3 == 0)
+    orch.apply_batch(ev.filter(F.col("cdc_dsn") % 3 == 1), batch_id=1)
+    orch.apply_batch(ev.filter(F.col("cdc_dsn") % 3 == 2), batch_id=2)
+    # Batch 3 introduces the `tool` column → transactional schema evolution.
+    orch.apply_batch(
+        third.withColumn(
+            "tool",
+            F.when(F.col("role") == "tool", F.format_string("tool_%d", F.col("cdc_dsn") % 8)),
+        ),
+        batch_id=3,
+    )
+    return current_state(table)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for every query."""
+    return dict(_ORACLES)

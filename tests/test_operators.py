@@ -1,0 +1,136 @@
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from tpc_di_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from tpc_di_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+from tpc_di_spark.operators.temporal_join import asof_join_by_id, band_join
+from tpc_di_spark.operators.windows import running_balance, top1_per_key
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different content about spark engines and merges"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, "spark engines merge data with completely different content"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r.fp: (r.keeper, r.n_copies) for r in exact_dedup(docs_df(spark), "doc_id", "text").collect()}
+    assert len(out) == 4  # 1 and 4 collapse
+    assert (1, 2) in out.values()
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(docs_df(spark), "doc_id", "text", n=3, threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0
+    assert (1, 3) not in got
+
+
+def test_minhash_lsh_candidates_contain_true_dups(spark):
+    sigs = minhash_signatures(docs_df(spark), "doc_id", "text", n=3, num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    got = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    assert (1, 4) in got  # exact dup always collides in every band
+    est = minhash_jaccard_estimate(sigs, cands).collect()
+    est_map = {(r.doc_a, r.doc_b): r.jaccard_est for r in est}
+    assert est_map[(1, 4)] == 1.0
+
+
+def test_simhash_near_dup_distance(spark):
+    out = {r.doc: r.simhash for r in simhash64(docs_df(spark), "doc_id", "text").collect()}
+    assert out[1] == out[4]
+    ham12 = bin((out[1] ^ out[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 < ham13, "near-dup must be closer in Hamming space than unrelated"
+
+
+def emb_df(spark):
+    import math
+
+    rows = []
+    for i in range(30):
+        base = [math.sin(0.1 * (i + 1) * (d + 1)) + 0.01 for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # 100 is an exact copy of 0 (cosine 1.0)
+    rows.append((100, rows[0][1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_bruteforce(spark):
+    out = cosine_topk_bruteforce(
+        emb_df(spark), "vec_id", "embedding", k=3, query_filter=F.col("vec_id") == 0
+    ).collect()
+    assert len(out) == 3
+    assert out[0].neighbor_id == 100 and abs(out[0].cosine - 1.0) < 1e-9
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_lsh_topk_finds_exact_copy(spark):
+    out = lsh_bucketed_topk(emb_df(spark), "vec_id", "embedding", k=3, bits=4, tables=2, dim=8)
+    rows = {r.query_id: r for r in out.filter("rank = 1").collect()}
+    assert rows[0].neighbor_id == 100  # identical vector shares every bucket
+
+
+def test_asof_join_left(spark):
+    probe = spark.createDataFrame(
+        [(1, "k1", dt.datetime(2024, 1, 10)), (2, "k2", dt.datetime(2024, 1, 10))],
+        "pid long, k string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            ("k1", dt.datetime(2024, 1, 1), "old"),
+            ("k1", dt.datetime(2024, 1, 9), "new"),
+            ("k1", dt.datetime(2024, 2, 1), "future"),
+        ],
+        "bk string, bts timestamp, v string",
+    )
+    out = asof_join_by_id(
+        probe, build, "pid", ["k"], ["bk"], "ts", "bts", how="left"
+    ).collect()
+    got = {r.pid: r.v for r in out}
+    assert got[1] == "new"
+    assert got[2] is None
+
+
+def test_band_join(spark):
+    fact = spark.createDataFrame(
+        [("s1", dt.datetime(2024, 6, 1))], "sym string, ts timestamp"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("s1", dt.datetime(2024, 1, 1), dt.datetime(2024, 5, 31), 10),
+            ("s1", dt.datetime(2024, 6, 1), dt.datetime(9999, 12, 31), 20),
+        ],
+        "dsym string, eff timestamp, end timestamp, sk int",
+    )
+    out = band_join(fact, dim, [("sym", "dsym")], "ts", "eff", "end").collect()
+    assert len(out) == 1 and out[0].sk == 20
+
+
+def test_running_balance_and_top1(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.0)], "k long, seq long, amt double"
+    )
+    rb = running_balance(df, ["k"], ["seq"], "amt").collect()
+    got = {(r.k, r.seq): r.balance for r in rb}
+    assert got[(1, 2)] == 15.0
+    t1 = top1_per_key(df, ["k"], [F.col("seq").desc()]).collect()
+    assert {(r.k, r.seq) for r in t1} == {(1, 2), (2, 1)}

@@ -1,0 +1,179 @@
+import textwrap
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tpc_di_spark.sources.delimited import read_batch_date, read_pipe_delimited
+from tpc_di_spark.sources.fixed_width import read_fixed_width
+
+
+def test_pipe_delimited_empty_to_null(spark, tmp_path):
+    p = tmp_path / "cust.txt"
+    p.write_text("U|42|alice|3.5\nI|43||\n")
+    schema = StructType(
+        [
+            StructField("cdc_flag", StringType()),
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    rows = {r.id: r for r in read_pipe_delimited(spark, str(p), schema).collect()}
+    assert rows[42].name == "alice" and rows[42].score == 3.5
+    assert rows[43].name is None and rows[43].score is None
+
+
+def test_batch_date(tmp_path):
+    p = tmp_path / "BatchDate.txt"
+    p.write_text("2024-01-01\n2024-02-02\n\n")
+    assert read_batch_date(str(p)) == "2024-02-02"
+
+
+def _pad(s, n):
+    return (s or "").ljust(n)
+
+
+def test_fixed_width_finwire(spark, tmp_path):
+    cmp_line = (
+        _pad("20240101-120000", 15)
+        + "CMP"
+        + _pad("Acme Corp", 60)
+        + _pad("0000012345", 10)
+        + _pad("ACTV", 4)
+        + _pad("IT", 2)
+        + _pad("AAA", 4)
+        + _pad("19990101", 8)
+        + _pad("1 Main St", 80)
+        + _pad("", 80)
+        + _pad("12345", 12)
+        + _pad("Springfield", 25)
+        + _pad("IL", 20)
+        + _pad("USA", 24)
+        + _pad("J Doe", 46)
+        + _pad("widgets", 150)
+    )
+    sec_line = (
+        _pad("20240102-120000", 15)
+        + "SEC"
+        + _pad("ACME", 15)
+        + _pad("COMMON", 6)
+        + _pad("ACTV", 4)
+        + _pad("Acme Common", 70)
+        + _pad("NYSE", 6)
+        + _pad("1000000", 13)
+        + _pad("20000101", 8)
+        + _pad("20000102", 8)
+        + _pad("1.25", 12)
+        + _pad("Acme Corp", 60)
+    )
+    p = tmp_path / "FINWIRE2024Q1"
+    p.write_text(cmp_line + "\n" + sec_line + "\n")
+
+    cmp_df = read_fixed_width(spark, str(p), "CMP")
+    row = cmp_df.collect()[0]
+    assert row.company_name == "Acme Corp"
+    assert row.sp_rating == "AAA"
+    assert row.addr_line2 is None  # empty -> NULL (SURVEY P11)
+
+    sec_df = read_fixed_width(spark, str(p), "SEC")
+    srow = sec_df.collect()[0]
+    assert srow.symbol == "ACME" and srow.sh_out == 1000000 and srow.dividend == 1.25
+    assert cmp_df.count() == 1 and sec_df.count() == 1
+
+
+def test_xml_actions(spark, tmp_path):
+    xml = textwrap.dedent(
+        """\
+        <?xml version="1.0"?>
+        <TPCDI:Actions xmlns:TPCDI="http://www.tpc.org/tpc-di">
+          <Action ActionType="NEW" ActionTS="2024-01-01T10:00:00">
+            <Customer C_ID="7" C_TAX_ID="tx-7" C_GNDR="F" C_TIER="2" C_DOB="1980-01-01">
+              <Name><C_L_NAME>Doe</C_L_NAME><C_F_NAME>Jane</C_F_NAME></Name>
+              <Account CA_ID="70" CA_TAX_ST="1"><CA_B_ID>9</CA_B_ID><CA_NAME>main</CA_NAME></Account>
+              <Account CA_ID="71" CA_TAX_ST="0"><CA_B_ID>9</CA_B_ID><CA_NAME>extra</CA_NAME></Account>
+            </Customer>
+          </Action>
+          <Action ActionType="INACT" ActionTS="2024-02-01T10:00:00">
+            <Customer C_ID="7"/>
+          </Action>
+        </TPCDI:Actions>
+        """
+    )
+    p = tmp_path / "CustomerMgmt.xml"
+    p.write_text(xml)
+    from tpc_di_spark.sources.xml_actions import explode_accounts, read_actions
+
+    actions = read_actions(spark, str(p))
+    rows = actions.orderBy("action_ts").collect()
+    assert [r.action_type for r in rows] == ["NEW", "INACT"]
+    assert rows[0].customer._C_ID == "7"
+    assert rows[0].customer.Name.C_F_NAME == "Jane"
+
+    accts = explode_accounts(actions).orderBy("ca_id").collect()
+    new_accts = [a for a in accts if a.action_type == "NEW"]
+    assert [a.ca_id for a in new_accts] == ["70", "71"]
+    assert new_accts[0].ca_name == "main"
+
+
+def test_multimodal_feature_extraction(spark):
+    from tpc_di_spark.functions.multimodal import (
+        ASSET_SCHEMA,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, "image", bytearray(b"\x01\x02\x03\x04"), (2, 2, None, None, "raw")),
+        (2, "video", bytearray(b"\xff" * 10), (64, 48, None, 3500, "fake")),
+        (3, "audio", None, (None, None, 16000, 2000, "pcm")),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert feats[1].n_bytes == 4 and feats[1].feat_mean == 2
+    assert feats[3].n_bytes is None and feats[3].content_hash is None
+
+    plan = frame_sample_plan(assets, every_ms=1000).collect()
+    assert {(r.asset_id, r.frame_idx, r.ts_ms) for r in plan} == {
+        (2, 0, 0), (2, 1, 1000), (2, 2, 2000)
+    }
+
+
+def test_streaming_foreachbatch_cdc(spark, tmp_path):
+    import datetime as dt
+
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import CHANGE_EVENT_SCHEMA, TRANSCRIPT_SCHEMA
+    from tpc_di_spark.streaming.stream_apply import start_cdc_stream, stream_events
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "hello", t0)], CHANGE_EVENT_SCHEMA
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("U", 2, "c1", 0, "user", "hello-edited", t0 + dt.timedelta(seconds=5))],
+        CHANGE_EVENT_SCHEMA,
+    ).write.parquet(str(src / "f2"))
+
+    table = bootstrap_table(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(table)
+    events = stream_events(spark, str(src) + "/*", max_files_per_trigger=1)
+    q = start_cdc_stream(events, orch, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rows = current_state(table).collect()
+    assert len(rows) == 1 and rows[0].text == "hello-edited"
+    # Restarting the stream over the same source is a no-op (exactly-once).
+    q2 = start_cdc_stream(
+        stream_events(spark, str(src) + "/*", max_files_per_trigger=1),
+        orch, str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert current_state(table).count() == 1

@@ -114,10 +114,10 @@ def merge_batch_rows(
     t_present = F.col(f"t.{key[0]}").isNotNull()
     s_present = F.col(f"s.{key[0]}").isNotNull()
 
-    # Branch 1: every pre-existing current row — closed if an event hit its
-    # key (I/U/D all expire the old version; SURVEY M1), kept verbatim
-    # otherwise.
-    kept_or_closed = j.filter(t_present).select(
+    # Row 1 per join hit: the pre-existing current row — closed if an event
+    # hit its key (I/U/D all expire the old version; SURVEY M1), kept
+    # verbatim otherwise.
+    kept_or_closed = F.struct(
         *[F.col(f"t.{k}").alias(k) for k in key],
         *[F.col(f"t.{c}").alias(c) for c in payload],
         F.when(s_present, F.lit(False)).otherwise(F.col("t.is_current")).alias("is_current"),
@@ -126,9 +126,9 @@ def merge_batch_rows(
         F.col("t.batch_id").alias("batch_id"),
     )
 
-    # Branch 2: new current versions for I/U events (D inserts nothing).
+    # Row 2: the new current version for I/U events (D inserts nothing).
     is_update = F.col("s.cdc_flag") == F.lit("U")
-    new_current = j.filter(s_present & (F.col("s.cdc_flag") != F.lit("D"))).select(
+    new_current = F.struct(
         *[F.col(f"s.{k}").alias(k) for k in key],
         *[
             F.when(is_update & t_present, F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")))
@@ -142,12 +142,22 @@ def merge_batch_rows(
         F.lit(batch_id).cast("int").alias("batch_id"),
     )
 
+    # Emit both rows in ONE pass over the join: a two-branch union would
+    # make Spark execute the (dominant) join twice. array -> filter-null ->
+    # explode keeps the whole merge a single joined scan.
+    merged = j.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(t_present, kept_or_closed),
+                    F.when(s_present & (F.col("s.cdc_flag") != F.lit("D")), new_current),
+                )
+            )
+        ).alias("_r")
+    ).select("_r.*")
+
     out_cols = [f.name for f in table.schema.fields]
-    return (
-        history.select(*out_cols)
-        .unionByName(kept_or_closed.select(*out_cols))
-        .unionByName(new_current.select(*out_cols))
-    )
+    return history.select(*out_cols).unionByName(merged.select(*out_cols))
 
 
 def current_state(table: LakeTable, snapshot=None) -> DataFrame:

@@ -35,6 +35,7 @@ import time
 import uuid
 from typing import Sequence
 
+import pyarrow.parquet as pq
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType
@@ -105,9 +106,13 @@ class CdcOrchestrator:
         # table.
         deduped.persist()
         try:
-            touched = sorted(
-                r[0] for r in deduped.select(LakeTable.BUCKET_COL).distinct().collect()
-            )
+            # One job yields both the touched-bucket set and per-bucket
+            # event counts (metadata-sized collect: <= num_buckets rows).
+            bucket_counts = {
+                r[0]: r[1]
+                for r in deduped.groupBy(LakeTable.BUCKET_COL).count().collect()
+            }
+            touched = sorted(bucket_counts)
             groups = [
                 touched[i : i + self.buckets_per_group]
                 for i in range(0, len(touched), self.buckets_per_group)
@@ -141,17 +146,16 @@ class CdcOrchestrator:
                 )
                 tag = f"batch-{batch_id:06d}/group-{gi:03d}"
                 files = self.table.write_data_files(self.table.with_bucket(merged), tag)
-                # Per-bucket lineage: rows written per bucket this batch.
+                # Per-bucket lineage (rows written per bucket this batch)
+                # from parquet footers — driver-side metadata, no Spark job.
                 lineage_rows = {
-                    b: c
-                    for b, c in self.spark.read.parquet(
-                        os.path.join(self.table.path, "data", tag)
+                    b: sum(
+                        pq.ParquetFile(os.path.join(self.table.path, rel)).metadata.num_rows
+                        for rel in fl
                     )
-                    .groupBy(LakeTable.BUCKET_COL)
-                    .count()
-                    .collect()
+                    for b, fl in files.items()
                 }
-                n_src = src.count()
+                n_src = sum(bucket_counts[b] for b in buckets)
                 n_deduped += n_src
                 metrics = {
                     "group": gi,

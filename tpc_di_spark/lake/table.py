@@ -261,7 +261,14 @@ class LakeTable:
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)  # partial output from a killed attempt
         (
-            df_with_bucket.write.mode("overwrite")
+            # Cluster rows by bucket before the partitioned write: without
+            # this, every shuffle partition emits a file into every bucket
+            # dir (cores x buckets tiny files — file-open overhead then
+            # *grows* with parallelism). One extra exchange keyed on the
+            # bucket id keeps the file count O(num_buckets) at any core
+            # count. Size num_buckets >= cluster parallelism at scale.
+            df_with_bucket.repartition(self.num_buckets, F.col(self.BUCKET_COL))
+            .write.mode("overwrite")
             .partitionBy(self.BUCKET_COL)
             .parquet(out_dir)
         )

@@ -1,0 +1,181 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four tiers, all DataFrame-native and shuffle-conscious:
+
+- exact:      hash-groupBy on a normalized fingerprint (one shuffle).
+- n-gram Jaccard: exact set similarity via shingle explode + pair count —
+  quadratic only within shingle buckets, used at small/medium scale or as
+  the verifier behind MinHash candidates.
+- MinHash+LSH: signature -> band -> bucket-join; candidate generation is
+  linear in corpus size, the classic 100TB-dedup shape.
+- SimHash:    64-bit near-dup signature; Hamming-ball lookup via band
+  equality on bit slices.
+
+All hashing is xxhash64 with integer seeds — deterministic across runs
+and cluster sizes; no Python in the hot path (everything is Column
+expressions over exploded token arrays).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def normalize_text(c) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the smallest id per identical normalized text. One shuffle."""
+    fp = F.xxhash64(normalize_text(F.col(text_col))).alias("fp")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: n-word shingles of the normalized text.
+    Documents shorter than n words contribute their full token string."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    ngrams = F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(ngrams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, sim >=
+    threshold). Pair generation joins on shared shingles, so cost is
+    bounded by shingle-bucket co-occurrence, not |corpus|^2; at web scale
+    run it behind MinHash-LSH candidates instead.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: for hash seed k, min over shingles
+    of xxhash64(shingle, k). One explode + one groupBy; signature is an
+    array<long> column."""
+    sh = word_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    Explode to (band, bucket) keys, self-join per bucket — candidate
+    generation is linear + per-bucket quadratic, the scalable path."""
+    n = bands * rows_per_band
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col("signature")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)])
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc", *band_cols)
+    stacked = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal signature
+    positions."""
+    sa = signatures.withColumnsRenamed({"doc": "doc_a", "signature": "sig_a"})
+    sb = signatures.withColumnsRenamed({"doc": "doc_b", "signature": "sig_b"})
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return j.select(
+        "doc_a", "doc_b", (eq / F.size(F.col("sig_a"))).alias("jaccard_est")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sign of the sum of
+    (+1/-1) token-hash bits. Pure column expressions: explode tokens,
+    aggregate 64 signed sums, reassemble the bits."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*sums)
+    bits = None
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        bits = term if bits is None else bits.bitwiseXOR(term)
+    return agg.select("doc", bits.alias("simhash"))

@@ -1,0 +1,107 @@
+"""Temporal / as-of / disjunctive joins (SURVEY §2.3 J5-J7).
+
+The reference implements every lookup as a per-row SQL round trip (the N+1
+anti-pattern, e.g. `Incremental1/IncrementalDimTrade.py:237-278`); these
+are the set-based replacements.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join_by_id(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_id: str,
+    on_probe: Sequence[str],
+    on_build: Sequence[str],
+    probe_ts: str,
+    build_ts: str,
+    tiebreak: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each probe row (identified by unique ``probe_id``),
+    the latest build row with matching key and build_ts <= probe_ts —
+    SURVEY J5's temporal dimension lookup (`DimSecurity ... WHERE ts
+    BETWEEN EffectiveDate AND EndDate`, `Historical/DimTrade.py:76-95`).
+
+    Implemented as equi-join on the key + band filter + row_number()==1:
+    the heavy lifting is a plain shuffled equi-join Catalyst can plan
+    (broadcast when the build side is small); the window ranks only each
+    probe's candidate set. 'inner' drops probes with no as-of match,
+    'left' keeps them with NULL build columns.
+    """
+    cond = F.lit(True)
+    for pc, bc in zip(on_probe, on_build):
+        cond = cond & (probe[pc] == build[bc])
+    cond = cond & (build[build_ts] <= probe[probe_ts])
+    j = probe.join(build, cond, "inner")
+    w = Window.partitionBy(probe[probe_id]).orderBy(
+        build[build_ts].desc(), *[build[t].desc() for t in tiebreak]
+    )
+    best = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    if how == "left":
+        missing = probe.join(best.select(probe_id), on=probe_id, how="left_anti")
+        for c in build.columns:
+            missing = missing.withColumn(c, F.lit(None).cast(dict(build.dtypes)[c]))
+        best = best.unionByName(missing)
+    return best
+
+
+def band_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[tuple[str, str]],
+    fact_ts: str,
+    dim_start: str,
+    dim_end: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Validity-window (band) join — SURVEY J5's historical variant:
+    fact.ts BETWEEN dim.EffectiveDate AND dim.EndDate on an equality key.
+    Equi-join carries the shuffle; the band is a post-join filter, which
+    is exactly the scalable plan when each key has few versions (SCD2)."""
+    cond = F.lit(True)
+    for fc, dc in on:
+        cond = cond & (fact[fc] == dim[dc])
+    cond = cond & (fact[fact_ts] >= dim[dim_start]) & (fact[fact_ts] <= dim[dim_end])
+    return fact.join(dim, cond, how)
+
+
+def disjunctive_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key_a: str,
+    build_key_b: str,
+    select_build: Sequence[str],
+) -> DataFrame:
+    """OR-key join without a Cartesian blow-up — SURVEY J6, the reference's
+    `CoNameOrCIK` matching Name OR CompanyID (`Historical/test.py:341-343`):
+    two equi-joins + coalesce, so Catalyst plans two hash joins instead of
+    a theta join.
+    """
+    a = probe.join(
+        build.select(
+            F.col(build_key_a).alias("_ka"), *[F.col(c).alias(f"_a_{c}") for c in select_build]
+        ),
+        probe[probe_key] == F.col("_ka"),
+        "left",
+    ).drop("_ka")
+    ab = a.join(
+        build.select(
+            F.col(build_key_b).alias("_kb"), *[F.col(c).alias(f"_b_{c}") for c in select_build]
+        ),
+        probe[probe_key] == F.col("_kb"),
+        "left",
+    ).drop("_kb")
+    out = ab
+    for c in select_build:
+        out = out.withColumn(c, F.coalesce(F.col(f"_a_{c}"), F.col(f"_b_{c}"))).drop(
+            f"_a_{c}", f"_b_{c}"
+        )
+    return out

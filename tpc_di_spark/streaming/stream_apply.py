@@ -1,0 +1,59 @@
+"""Structured Streaming wrapper over the CDC engine.
+
+The reference applies CDC as discrete batch files in strict order
+(Batch2 -> Batch3, report §4.3); the engine's core keeps that micro-batch
+replay model. This module is the optional continuous front-end: a
+``readStream`` source of change-event files driven into the same
+``CdcOrchestrator.apply_batch`` via ``foreachBatch`` — so the streaming
+path shares the exactly-once/LWW/SCD2 machinery instead of reimplementing
+it, and Spark's checkpointing handles source progress while the
+LakeTable's committed-batch ids make re-delivered micro-batches no-ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from tpc_di_spark.cdc.orchestrator import CdcOrchestrator
+from tpc_di_spark.schemas import CHANGE_EVENT_SCHEMA
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema=CHANGE_EVENT_SCHEMA,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-tail source: new change-event parquet files appearing under
+    ``source_dir`` become micro-batches (the binlog/WAL tail)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def start_cdc_stream(
+    events: DataFrame,
+    orchestrator: CdcOrchestrator,
+    checkpoint_dir: str,
+    base_batch_id: int = 1_000_000,
+) -> StreamingQuery:
+    """Drive a change-event stream into the lake table.
+
+    Exactly-once composition: Spark guarantees each micro-batch id is
+    re-delivered (not skipped) on restart; ``apply_batch`` keyed on
+    ``base_batch_id + micro_batch_id`` makes the re-delivery idempotent,
+    so the pair is end-to-end exactly-once.
+    """
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        orchestrator.apply_batch(batch_df, base_batch_id + int(epoch_id))
+
+    return (
+        events.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
