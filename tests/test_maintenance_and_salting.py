@@ -1,0 +1,69 @@
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from tests.conftest import assert_pdf_equal
+from tpc_di_spark.lake import LakeTable
+from tpc_di_spark.lake.maintenance import compact, expire_snapshots
+from tpc_di_spark.operators.salting import salted_agg, salted_broadcast_join
+from tests.test_lake import SCHEMA, mkrows
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+    for i in range(6):
+        t.append(mkrows(spark, 20, text=f"gen{i}"))
+    before = t.read().orderBy("conv_id", "turn_idx", "text").toPandas()
+    stats = compact(t, max_files_per_bucket=2)
+    assert stats["compacted_buckets"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    after = t.read().orderBy("conv_id", "turn_idx", "text").toPandas()
+    assert_pdf_equal(before, after, ["conv_id", "turn_idx", "text"])
+
+
+def test_expire_snapshots_removes_orphans(spark, tmp_path):
+    import glob
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+    for i in range(4):
+        t.append(mkrows(spark, 20, text=f"gen{i}"))
+    compact(t, max_files_per_bucket=1)
+    n_files_before = len(glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    stats = expire_snapshots(t, keep_last=1)
+    assert stats["removed_files"] > 0
+    n_files_after = len(glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    assert n_files_after < n_files_before
+    assert t.read().count() == 80  # current snapshot intact
+    assert t.history()[-1]["snapshot_id"] == t.snapshot.snapshot_id
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(500)] + [("cold", i, 1.0) for i in range(5)],
+        "conv_id string, turn_idx int, v double",
+    )
+    out = salted_agg(
+        df,
+        ["conv_id"],
+        {"n": ("count", "*"), "total": ("sum", "v"), "mx": ("max", "v")},
+        salt_from=["turn_idx"],
+        buckets=8,
+    )
+    got = {r.conv_id: (r.n, r.total, r.mx) for r in out.collect()}
+    assert got["hot"] == (500, float(sum(range(500))), 499.0)
+    assert got["cold"] == (5, 5.0, 1.0)
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [("k1", i) for i in range(300)] + [("k2", i) for i in range(3)],
+        "key string, payload int",
+    )
+    dim = spark.createDataFrame(
+        [("k1", "dim1"), ("k2", "dim2"), ("k3", "dim3")], "key string, dval string"
+    )
+    out = salted_broadcast_join(fact, dim, ["key"], buckets=4)
+    plain = fact.join(dim, ["key"], "left")
+    assert_pdf_equal(
+        out.toPandas(), plain.toPandas(), ["key", "payload"]
+    )

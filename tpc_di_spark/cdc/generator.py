@@ -26,12 +26,28 @@ def _u(col_id, salt: str):
     return (F.pmod(F.xxhash64(col_id, F.lit(salt)), F.lit(1_000_000_007)) / F.lit(1_000_000_007.0))
 
 
+def _payload_text(conv, turn, batch_id, rid, text_repeat: int):
+    """Deterministic turn text. ``text_repeat`` > 0 appends a repeated
+    filler sentence so payload bytes approximate real transcript turns
+    (hundreds of chars) instead of tag-sized strings; the unique prefix
+    keeps per-turn equality checks meaningful."""
+    tag = F.format_string("text c%d t%d b%d s%d", conv, turn, F.lit(batch_id), rid)
+    if text_repeat <= 0:
+        return tag
+    filler = F.repeat(
+        F.format_string(" lorem ipsum turn token %d", F.pmod(rid, F.lit(97))),
+        text_repeat,
+    )
+    return F.concat(tag, filler)
+
+
 def historical_batch(
     spark: SparkSession,
     n_convs: int,
     turns_per_conv: int,
     batch_id: int = 1,
     partitions: int | None = None,
+    text_repeat: int = 0,
 ) -> DataFrame:
     """Batch1: one 'I' per (conv, turn) — the historical load."""
     n = n_convs * turns_per_conv
@@ -47,7 +63,7 @@ def historical_batch(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
             (F.pmod(F.xxhash64("id", F.lit("role")), F.lit(3)) + 1).cast("int"),
         ).alias("role"),
-        F.format_string("text c%d t%d b%d s%d", conv, turn, F.lit(batch_id), F.col("id")).alias("text"),
+        _payload_text(conv, turn, batch_id, F.col("id"), text_repeat).alias("text"),
         F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("id")).alias("ts"),
     )
 
@@ -63,6 +79,7 @@ def incremental_batch(
     skew: float = 0.0,
     with_tool: bool = False,
     partitions: int | None = None,
+    text_repeat: int = 0,
 ) -> DataFrame:
     """Batch k>=2: a mix of I (new turns beyond the historical range),
     U (rewrites of existing turns), D (occasional deletes), with duplicate
@@ -99,9 +116,7 @@ def incremental_batch(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
             (F.pmod(F.xxhash64(rid, F.lit("role")), F.lit(3)) + 1).cast("int"),
         ).alias("role"),
-        F.format_string(
-            "text c%d t%d b%d s%d", conv, turn, F.lit(batch_id), rid
-        ).alias("text"),
+        _payload_text(conv, turn, batch_id, rid, text_repeat).alias("text"),
     ]
     if with_tool:
         cols.append(

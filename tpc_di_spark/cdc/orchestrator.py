@@ -58,10 +58,15 @@ class CdcOrchestrator:
         self,
         table: LakeTable,
         buckets_per_group: int = 8,
+        count_input: bool = True,
     ):
         self.table = table
         self.spark = table.spark
         self.buckets_per_group = buckets_per_group
+        # count_input=False skips the pre-dedup events.count() (a full
+        # extra pass over the source); metrics then report the post-LWW
+        # count as events_in=None. Used by throughput benches.
+        self.count_input = count_input
 
     # ------------------------------------------------------------ utilities
     def _staging_dir(self, batch_id: int) -> str:
@@ -97,14 +102,20 @@ class CdcOrchestrator:
 
         self._maybe_evolve(events, batch_id)
         events = align_events(events, self.table)
-        n_events = events.count()
+        n_events = events.count() if self.count_input else None
 
         deduped = lww_dedup(events, self.table.key_cols)
         deduped = self.table.with_bucket(deduped)
-        # Cache: reused once per bucket group. At cluster scale this is an
-        # in-memory/disk cache of the *deduped* batch (<= events), not the
-        # table.
-        deduped.persist()
+
+        if self.buckets_per_group >= self.table.num_buckets:
+            # Single-group fast path: the batch is merged against the whole
+            # table in ONE pass (generation -> dedup shuffle -> merge join
+            # -> write), skipping the separate touched-bucket discovery job
+            # that would recompute the dedup. Right when batches touch most
+            # buckets anyway (bulk replays, benches); bucket-pruned multi-
+            # group mode remains the default for sparse batches.
+            return self._apply_single_group(events, deduped, batch_id, n_events, t0)
+
         try:
             # One job yields both the touched-bucket set and per-bucket
             # event counts (metadata-sized collect: <= num_buckets rows).
@@ -117,6 +128,12 @@ class CdcOrchestrator:
                 touched[i : i + self.buckets_per_group]
                 for i in range(0, len(touched), self.buckets_per_group)
             ]
+            # Cache the deduped batch only when several groups will reuse
+            # it; with one group a persist is a pure extra write+read. At
+            # cluster scale this caches the batch (<= events), never the
+            # table.
+            if len(groups) > 1:
+                deduped.persist()
             staging = self._staging_dir(batch_id)
             os.makedirs(staging, exist_ok=True)
 
@@ -170,7 +187,7 @@ class CdcOrchestrator:
                 all_files.update(files)
                 group_metrics.append(metrics)
         finally:
-            deduped.unpersist()
+            deduped.unpersist(blocking=False)
 
         snap = self.table.commit(
             new_files_by_bucket=all_files,
@@ -189,7 +206,78 @@ class CdcOrchestrator:
             "buckets_touched": len(touched),
             "groups": group_metrics,
             "secs": round(elapsed, 3),
-            "events_per_sec": round(n_events / elapsed, 1) if elapsed > 0 else None,
+            "events_per_sec": (
+                round((n_events or n_deduped) / elapsed, 1) if elapsed > 0 else None
+            ),
+        }
+        os.makedirs(os.path.dirname(self._metrics_path(batch_id)), exist_ok=True)
+        _atomic_write(self._metrics_path(batch_id), json.dumps(record))
+        return record
+
+    def _apply_single_group(self, events, deduped, batch_id, n_events, t0) -> dict:
+        """One-pass apply of a batch that spans (potentially) every bucket.
+        Same checkpoint manifest + atomic commit as the grouped path; the
+        resume granularity is the whole batch."""
+        staging = self._staging_dir(batch_id)
+        os.makedirs(staging, exist_ok=True)
+        manifest_path = os.path.join(staging, "group-000.done.json")
+        resumed = False
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            if all(
+                os.path.exists(os.path.join(self.table.path, rel))
+                for fl in manifest["files"].values()
+                for rel in fl
+            ):
+                files = manifest["files"]
+                metrics = {**manifest["metrics"], "resumed": True}
+                resumed = True
+        if not resumed:
+            g0 = time.monotonic()
+            tgt = self.table.read()
+            merged = merge_batch_rows(
+                tgt, deduped.drop(LakeTable.BUCKET_COL), batch_id, self.table
+            )
+            tag = f"batch-{batch_id:06d}/group-000"
+            files = self.table.write_data_files(self.table.with_bucket(merged), tag)
+            lineage_rows = {
+                b: sum(
+                    pq.ParquetFile(os.path.join(self.table.path, rel)).metadata.num_rows
+                    for rel in fl
+                )
+                for b, fl in files.items()
+            }
+            metrics = {
+                "group": 0,
+                "buckets": sorted(int(b) for b in files),
+                "events": None,
+                "rows_written": lineage_rows,
+                "secs": round(time.monotonic() - g0, 3),
+            }
+            _atomic_write(manifest_path, json.dumps({"files": files, "metrics": metrics}))
+
+        # Every pre-existing bucket was merged (and may have lost all its
+        # rows to deletes), so the replaced set is old ∪ new buckets.
+        replaced = set(self.table.snapshot.files) | set(files)
+        snap = self.table.commit(
+            new_files_by_bucket=files,
+            mode="replace",
+            replaced_buckets=replaced,
+            batch_id=batch_id,
+            summary={"operation": "cdc-apply", "events": n_events},
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        elapsed = time.monotonic() - t0
+        record = {
+            "batch_id": batch_id,
+            "snapshot_id": snap.snapshot_id,
+            "events_in": n_events,
+            "events_after_lww": None,
+            "buckets_touched": len(replaced),
+            "groups": [metrics],
+            "secs": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed, 1) if n_events and elapsed > 0 else None,
         }
         os.makedirs(os.path.dirname(self._metrics_path(batch_id)), exist_ok=True)
         _atomic_write(self._metrics_path(batch_id), json.dumps(record))

@@ -207,10 +207,15 @@ class LakeTable:
             return Snapshot.from_json(json.load(f))
 
     def history(self) -> list[dict]:
+        """Lineage of the current snapshot, oldest first. Stops at the
+        oldest snapshot still on disk (older ones may have been expired)."""
         out = []
         sid: int | None = self.snapshot.snapshot_id
         while sid is not None:
-            s = self.read_snapshot(sid)
+            try:
+                s = self.read_snapshot(sid)
+            except FileNotFoundError:
+                break
             out.append({"snapshot_id": s.snapshot_id, "summary": s.summary})
             sid = s.parent_id
         return list(reversed(out))

@@ -1,0 +1,334 @@
+"""Reference-shaped table pipelines: the TPC-DI loads recomposed from the
+engine's operators, one function per warehouse table family.
+
+These are the parity demonstrations for SURVEY.md §2/§3 — each pipeline
+names the reference implementation it re-expresses and is a pure
+DataFrame composition (broadcast lookup joins, LWW folds, windows), where
+the reference runs per-row Python with per-row SQL round trips.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from tpc_di_spark.functions.cleaning import (
+    domain_validate,
+    format_phone,
+    gender_norm,
+    nameplate_tags,
+    nullif_trim,
+)
+from tpc_di_spark.operators.windows import running_balance
+
+END_OF_TIME = "9999-12-31"
+
+
+# ---------------------------------------------------------------------------
+# DimCustomer historical load — `Historical/DimCustomer.py:659-663`:
+# parse XML actions -> LWW-fold updates onto NEW -> project -> load.
+# ---------------------------------------------------------------------------
+
+def build_dim_customer(
+    actions: DataFrame,
+    tax_rate: DataFrame,
+    batch_id: int = 1,
+) -> DataFrame:
+    """``actions``: output of sources.xml_actions.read_actions (action_type,
+    action_ts, customer struct). Returns one SCD2-current row per customer
+    that has a NEW action, with UPDCUST/INACT field updates folded in
+    last-writer-wins (`DimCustomer.py:634-657`, SURVEY A7) and the
+    tax-rate lookup as a broadcast join (`:105-127`, SURVEY J1)."""
+    c = actions.select(
+        "action_type",
+        "action_ts",
+        F.col("customer._C_ID").alias("customer_id"),
+        F.col("customer._C_TAX_ID").alias("tax_id"),
+        F.col("customer._C_GNDR").alias("gender_raw"),
+        F.col("customer._C_TIER").alias("tier"),
+        F.col("customer._C_DOB").alias("dob"),
+        F.col("customer.Name.C_L_NAME").alias("last_name"),
+        F.col("customer.Name.C_F_NAME").alias("first_name"),
+        F.col("customer.Address.C_ADLINE1").alias("address_line1"),
+        F.col("customer.Address.C_ZIPCODE").alias("postal_code"),
+        F.col("customer.ContactInfo.C_PRIM_EMAIL").alias("email1"),
+        F.col("customer.ContactInfo.C_PHONE_1.C_CTRY_CODE").alias("ph_ctry"),
+        F.col("customer.ContactInfo.C_PHONE_1.C_AREA_CODE").alias("ph_area"),
+        F.col("customer.ContactInfo.C_PHONE_1.C_LOCAL").alias("ph_local"),
+        F.col("customer.ContactInfo.C_PHONE_1.C_EXT").alias("ph_ext"),
+        F.col("customer.TaxInfo.C_LCL_TX_ID").alias("lcl_tx_id"),
+        F.col("customer.TaxInfo.C_NAT_TX_ID").alias("nat_tx_id"),
+    )
+    payload = [x for x in c.columns if x not in ("action_type", "action_ts", "customer_id")]
+
+    # LWW fold: last non-NULL value per field over the action sequence,
+    # overlaid onto the NEW record; customers without NEW are dropped.
+    w = (
+        Window.partitionBy("customer_id")
+        .orderBy("action_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    folded = c.select(
+        "customer_id",
+        "action_type",
+        *[F.last(col, ignorenulls=True).over(w).alias(col) for col in payload],
+        F.max(F.when(F.col("action_type").isin("INACT", "CLOSEACCT"), F.col("action_ts"))).over(w).alias("inact_ts"),
+        F.min(F.when(F.col("action_type") == "NEW", F.col("action_ts"))).over(w).alias("new_ts"),
+    ).filter(F.col("action_type") == "NEW")
+
+    # Status mapping (SURVEY P7: NEW->ACTIVE, INACT/CLOSEACCT->INACTIVE).
+    status = F.when(F.col("inact_ts").isNotNull(), "INACTIVE").otherwise("ACTIVE")
+
+    out = folded.select(
+        "customer_id",
+        "tax_id",
+        gender_norm(F.col("gender_raw")).alias("gender"),
+        "tier",
+        F.to_date("dob").alias("dob"),
+        nullif_trim(F.col("last_name")).alias("last_name"),
+        nullif_trim(F.col("first_name")).alias("first_name"),
+        "address_line1",
+        "postal_code",
+        "email1",
+        format_phone(
+            F.col("ph_ctry"), F.col("ph_area"), F.col("ph_local"), F.col("ph_ext")
+        ).alias("phone1"),
+        F.col("nat_tx_id"),
+        status.alias("status"),
+        F.col("new_ts").alias("effective_ts"),
+    )
+    # J1: broadcast tax-rate lookup with NULLs on miss.
+    tr = tax_rate.select(
+        F.col("tx_id").alias("nat_tx_id"),
+        F.col("tx_name").alias("national_tax_rate_desc"),
+        F.col("tx_rate").alias("national_tax_rate"),
+    )
+    out = out.join(F.broadcast(tr), "nat_tx_id", "left")
+    # SCD2 defaults (SURVEY P8).
+    return (
+        out.withColumn("is_current", F.lit(True))
+        .withColumn("end_ts", F.to_timestamp(F.lit(f"{END_OF_TIME} 00:00:00")))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DimTrade — `Historical/DimTrade.py:162-272` + `Incremental1/
+# IncrementalDimTrade.py`: lookups J2/J3/J4, create/close-date P10.
+# ---------------------------------------------------------------------------
+
+def build_dim_trade(
+    trades: DataFrame,
+    status_type: DataFrame,
+    trade_type: DataFrame,
+    dim_date: DataFrame,
+    dim_time: DataFrame,
+) -> DataFrame:
+    t = trades.withColumn("trade_date", F.to_date("t_dts")).withColumn(
+        "trade_time", F.date_format("t_dts", "HH:mm:ss")
+    )
+    t = t.join(
+        F.broadcast(status_type.select(F.col("st_id").alias("t_st_id"), F.col("st_name").alias("status"))),
+        "t_st_id", "left",
+    )
+    t = t.join(
+        F.broadcast(trade_type.select(F.col("tt_id").alias("t_tt_id"), F.col("tt_name").alias("type_name"))),
+        "t_tt_id", "left",
+    )
+    t = t.join(
+        F.broadcast(dim_date.select(F.col("datevalue").alias("trade_date"), F.col("sk_dateid").alias("sk_dateid"))),
+        "trade_date", "left",
+    )
+    t = t.join(
+        F.broadcast(dim_time.select(F.col("timevalue").alias("trade_time"), F.col("sk_timeid").alias("sk_timeid"))),
+        "trade_time", "left",
+    )
+    # P10: create vs close SK assignment by status/type.
+    creating = F.col("t_st_id").isin("SBMT", "PNDG") | F.col("t_tt_id").isin("TMB", "TMS")
+    closing = F.col("t_st_id").isin("CMPT", "CNCL")
+    return t.select(
+        "t_id",
+        "t_dts",
+        "status",
+        "type_name",
+        (F.col("t_is_cash") == F.lit(True)).alias("cash_flag"),
+        F.when(creating, F.col("sk_dateid")).alias("sk_create_dateid"),
+        F.when(creating, F.col("sk_timeid")).alias("sk_create_timeid"),
+        F.when(closing, F.col("sk_dateid")).alias("sk_close_dateid"),
+        F.when(closing, F.col("sk_timeid")).alias("sk_close_timeid"),
+        "t_qty",
+        "t_bid_price",
+        "t_trade_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# FactCashBalances — `Historical/fact_cash_balances.py:36-101` (SURVEY A1).
+# ---------------------------------------------------------------------------
+
+def build_fact_cash_balances(cash_txn: DataFrame) -> DataFrame:
+    daily = (
+        cash_txn.withColumn("day", F.to_date("ct_dts"))
+        .groupBy("ct_ca_id", "day")
+        .agg(F.sum(F.col("ct_amt").cast("decimal(18,2)")).alias("net_amt"))
+    )
+    out = running_balance(daily, ["ct_ca_id"], ["day"], "net_amt", alias="cash")
+    return out.select(
+        F.col("ct_ca_id").alias("account_id"),
+        "day",
+        F.col("net_amt").cast("double").alias("net_amt"),
+        F.col("cash").cast("double").alias("cash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FactWatches — `Incremental1/IncrementalFactWatches.py:159-228` (SURVEY M4):
+# ACTV places a watch, CNCL stamps DateRemoved on the matching pair.
+# ---------------------------------------------------------------------------
+
+def build_fact_watches(watch_history: DataFrame) -> DataFrame:
+    placed = (
+        watch_history.filter(F.col("w_action") == "ACTV")
+        .groupBy("w_c_id", "w_s_symb")
+        .agg(F.min("w_dts").alias("date_placed"))
+    )
+    removed = (
+        watch_history.filter(F.col("w_action") == "CNCL")
+        .groupBy("w_c_id", "w_s_symb")
+        .agg(F.min("w_dts").alias("date_removed"))
+    )
+    out = placed.join(removed, ["w_c_id", "w_s_symb"], "left")
+    # Only removals at/after placement count (the reference's update-if-
+    # currently-NULL guard, `Historical/FactWatches.py:101-130`).
+    return out.select(
+        F.col("w_c_id").alias("customer_id"),
+        F.col("w_s_symb").alias("symbol"),
+        "date_placed",
+        F.when(F.col("date_removed") >= F.col("date_placed"), F.col("date_removed")).alias("date_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DimCompany / Financial from FINWIRE — `Historical/test.py:217-368`:
+# domain validation + alert side-output (P12), disjunctive-key join (J6).
+# ---------------------------------------------------------------------------
+
+VALID_SP_RATINGS = [
+    "AAA", "AA", "AA+", "AA-", "A", "A+", "A-",
+    "BBB", "BBB+", "BBB-", "BB", "BB+", "BB-",
+    "B", "B+", "B-", "CCC", "CCC+", "CCC-", "CC", "C", "D",
+]
+
+
+def build_dim_company(cmp_records: DataFrame) -> DataFrame:
+    rated = cmp_records.withColumn("sp_rating_valid", domain_validate(F.col("sp_rating"), VALID_SP_RATINGS))
+    return rated.select(
+        F.row_number()
+        .over(Window.orderBy("pts", "cik"))
+        .alias("sk_companyid"),  # M5: deterministic surrogate keys
+        F.col("cik").cast("long").alias("company_id"),
+        F.col("company_name").alias("name"),
+        F.col("sp_rating_valid").alias("sp_rating"),
+        (~F.coalesce(F.col("sp_rating_valid"), F.lit("")).startswith("A")
+         & ~(F.coalesce(F.col("sp_rating_valid"), F.lit("")) == "BBB")).alias("is_low_grade"),
+        (F.col("sp_rating_valid").isNull() & F.col("sp_rating").isNotNull()).alias("alert_invalid_rating"),
+        F.to_timestamp(F.col("pts"), "yyyyMMdd-HHmmss").alias("effective_ts"),
+    )
+
+
+def build_financials(fin_records: DataFrame, dim_company: DataFrame) -> DataFrame:
+    """Disjunctive-key join (SURVEY J6): CoNameOrCIK matches company name
+    OR zero-padded CIK (`Historical/test.py:341-343`) — two broadcast
+    equi-joins + coalesce, never an OR-condition theta join."""
+    by_name = dim_company.select(
+        F.col("name").alias("_match_name"), F.col("sk_companyid").alias("_sk_by_name")
+    )
+    by_cik = dim_company.select(
+        F.format_string("%010d", F.col("company_id")).alias("_match_cik"),
+        F.col("sk_companyid").alias("_sk_by_cik"),
+    )
+    f = fin_records.join(
+        F.broadcast(by_name), fin_records.co_name_or_cik == by_name._match_name, "left"
+    ).join(
+        F.broadcast(by_cik), fin_records.co_name_or_cik == by_cik._match_cik, "left"
+    )
+    return f.select(
+        F.coalesce(F.col("_sk_by_name"), F.col("_sk_by_cik")).alias("sk_companyid"),
+        "year",
+        "quarter",
+        F.to_date(F.col("qtr_start_date"), "yyyyMMdd").alias("qtr_start_date"),
+        "revenue",
+        "earnings",
+        "eps",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prospect — `Historical/prospect.py` + `Incremental1/IncrementalFactProspect
+# .py:234-307`: nameplate (P6) + 21-column change detection vs the stored
+# row with SK retention (A8) + IsCustomer via demographic match (J7).
+# ---------------------------------------------------------------------------
+
+def build_prospect(
+    prospect_new: DataFrame,
+    prospect_stored: DataFrame | None,
+    customers_active: DataFrame,
+    batch_sk: int,
+) -> DataFrame:
+    # Exact tag predicates and order from `Historical/prospect.py:184-216`.
+    tags = nameplate_tags(
+        [
+            ((F.col("net_worth") > 1_000_000) | (F.col("income") > 200_000), "HighValue"),
+            ((F.col("number_children") > 3) | (F.col("number_credit_cards") > 5), "Expenses"),
+            (F.col("age") > 45, "Boomer"),
+            (
+                (F.col("income") < 50_000)
+                | (F.col("credit_rating") < 600)
+                | (F.col("net_worth") < 100_000),
+                "MoneyAlert",
+            ),
+            ((F.col("number_cars") > 3) | (F.col("number_credit_cards") > 7), "Spender"),
+            ((F.col("age") < 25) & (F.col("net_worth") > 1_000_000), "Inherited"),
+        ]
+    )
+    p = prospect_new.withColumn("marketing_nameplate", tags)
+
+    compare_cols = [
+        "last_name", "first_name", "gender", "address_line1", "postal_code",
+        "income", "number_cars", "number_children", "age", "credit_rating", "net_worth",
+    ]
+    if prospect_stored is not None:
+        stored = prospect_stored.select(
+            "agency_id",
+            F.col("sk_updatedateid").alias("_old_sk"),
+            *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+        )
+        p = p.join(stored, "agency_id", "left")
+        changed = F.lit(False)
+        for c in compare_cols:
+            changed = changed | ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+        sk = (
+            F.when(F.col("_old_sk").isNull(), F.lit(batch_sk))  # new agency
+            .when(changed, F.lit(batch_sk))                     # any field differs
+            .otherwise(F.col("_old_sk"))                        # unchanged: retain
+        )
+        p = p.withColumn("sk_updatedateid", sk).drop(
+            "_old_sk", *[f"_old_{c}" for c in compare_cols]
+        )
+    else:
+        p = p.withColumn("sk_updatedateid", F.lit(batch_sk))
+
+    # J7: IsCustomer via case-insensitive demographic match vs ACTIVE
+    # customers (`prospect.py:172-182`).
+    probe = customers_active.select(
+        *[F.upper(F.col(c)).alias(f"_m_{c}") for c in ("first_name", "last_name", "address_line1", "postal_code")]
+    ).distinct()
+    match_cond = (
+        (F.upper(p.first_name) == F.col("_m_first_name"))
+        & (F.upper(p.last_name) == F.col("_m_last_name"))
+        & (F.upper(p.address_line1) == F.col("_m_address_line1"))
+        & (F.upper(p.postal_code) == F.col("_m_postal_code"))
+    )
+    return p.join(F.broadcast(probe), match_cond, "left").withColumn(
+        "is_customer", F.col("_m_first_name").isNotNull()
+    ).drop("_m_first_name", "_m_last_name", "_m_address_line1", "_m_postal_code")
