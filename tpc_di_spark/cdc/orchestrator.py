@@ -283,6 +283,44 @@ class CdcOrchestrator:
         _atomic_write(self._metrics_path(batch_id), json.dumps(record))
         return record
 
+    def _compact_one_delta(self, events: DataFrame, orig_batch_id: int) -> dict:
+        """Replay one pending MoR delta batch through the CoW merge and,
+        in the SAME atomic commit, pop it from the pending-delta list.
+        New row versions carry the ORIGINAL batch id, so the materialized
+        lineage is identical to an all-CoW replay. Killed mid-compaction:
+        nothing committed, the delta stays pending, the deterministic tag
+        makes the rewrite idempotent."""
+        import time as _time
+
+        from tpc_di_spark.cdc.mor import pending_delta_batches
+
+        t0 = _time.monotonic()
+        deduped = lww_dedup(align_events(events, self.table), self.table.key_cols)
+        tgt = self.table.read()
+        merged = merge_batch_rows(tgt, deduped, orig_batch_id, self.table)
+        tag = f"compact-delta-{orig_batch_id:06d}"
+        files = self.table.write_data_files(self.table.with_bucket(merged), tag)
+        replaced = set(self.table.snapshot.files) | set(files)
+
+        props = dict(self.table.snapshot.properties)
+        remaining = [
+            b for b in pending_delta_batches(self.table) if b["batch_id"] != orig_batch_id
+        ]
+        props["delta_batches"] = remaining
+        snap = self.table.commit(
+            new_files_by_bucket=files,
+            mode="replace",
+            replaced_buckets=replaced,
+            batch_id=None,
+            summary={"operation": "compact-delta", "delta_batch": orig_batch_id},
+            new_properties=props,
+        )
+        return {
+            "delta_batch": orig_batch_id,
+            "snapshot_id": snap.snapshot_id,
+            "secs": round(_time.monotonic() - t0, 3),
+        }
+
     # --------------------------------------------------------------- replay
     def replay(
         self, batches: Sequence[tuple[int, DataFrame]]

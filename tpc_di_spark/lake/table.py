@@ -314,6 +314,7 @@ class LakeTable:
         batch_id: int | None = None,
         new_schema: StructType | None = None,
         summary: dict | None = None,
+        new_properties: dict | None = None,
     ) -> Snapshot:
         """Produce the next snapshot and atomically flip VERSION to it.
 
@@ -352,7 +353,7 @@ class LakeTable:
             files=files,
             committed_batches=committed,
             summary={**(summary or {}), "batch_id": batch_id},
-            properties=parent.properties,
+            properties=parent.properties if new_properties is None else new_properties,
         )
         self._flip_version(snap, expected_parent=parent.snapshot_id)
         self.snapshot = snap
