@@ -838,6 +838,67 @@ ON o_custkey = r.old_sk
 """
 
 # ---------------------------------------------------------------------------
+# Q29 — the MERGE-ON-READ engine path end-to-end: three ts-ordered CDC
+# batches appended as deltas, live view reconciled by the declarative CDC
+# fold. ts-ordered batch boundaries make the final state equal a global
+# LWW, which the SQL oracle expresses directly.
+# ---------------------------------------------------------------------------
+
+def q29_mor_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.mor import apply_batch_mor, current_state_mor
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir)
+    table_dir = tempfile.mkdtemp(prefix="cdc_q29_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "t"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    cut1, cut2 = F.lit("2024-01-11").cast("timestamp"), F.lit("2024-01-21").cast("timestamp")
+    apply_batch_mor(orch, ev.filter(F.col("ts") < cut1), 1)
+    apply_batch_mor(orch, ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), 2)
+    apply_batch_mor(orch, ev.filter(F.col("ts") >= cut2), 3)
+    return current_state_mor(table).select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+# Same final-state semantics as Q18: ts-ordered batches => global LWW.
+Q29_SQL = Q18_SQL
+
+# ---------------------------------------------------------------------------
+# Q30 — salted two-phase aggregation (skew defense); oracle is the plain
+# GROUP BY it must be semantically identical to
+# ---------------------------------------------------------------------------
+
+def q30_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.salting import salted_agg
+
+    e = _t(spark, sf_dir, "events").withColumn("v", F.col("value").cast(DEC))
+    out = salted_agg(
+        e,
+        ["user_id"],
+        {"n_events": ("count", "*"), "total_value": ("sum", "v"), "last_event": ("max", "event_id")},
+        salt_from=["event_id"],
+        buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "last_event",
+    )
+
+
+Q30_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       MAX(event_id) AS last_event
+FROM events GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -870,6 +931,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_lsh_topk": q26_lsh_topk,
     "q27_scalar_functions": q27_scalar_functions,
     "q28_sk_repoint": q28_sk_repoint,
+    "q29_mor_live_state": q29_mor_live_state,
+    "q30_salted_agg": q30_salted_agg,
 }
 
 _ORACLES: dict[str, str] = {
@@ -900,6 +963,8 @@ _ORACLES: dict[str, str] = {
     # LSH); DuckDB has no matching hash -> rows-only driver check.
     "q27_scalar_functions": Q27_SQL,
     "q28_sk_repoint": Q28_SQL,
+    "q29_mor_live_state": Q29_SQL,
+    "q30_salted_agg": Q30_SQL,
 }
 
 
