@@ -75,6 +75,29 @@ def test_compaction_materializes_identical_lineage(mor_setup, spark):
     assert_pdf_equal(live_before, live_after, ["conv_id", "turn_idx"])
 
 
+def test_expire_snapshots_keeps_pending_deltas(spark, tmp_path):
+    """Snapshot expiry must not garbage-collect pending MoR delta files
+    (they are referenced from snapshot properties, not the file map)."""
+    import datetime as dt
+
+    from tpc_di_spark.lake.maintenance import expire_snapshots
+
+    table = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(table)
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+    orch.apply_batch(mk([("I", 1, "c1", 0, "user", "v1", t0)]), 1)
+    apply_batch_mor(orch, mk([("U", 1, "c1", 0, None, "v2", t0.replace(hour=1))]), 2)
+    expire_snapshots(table, keep_last=1)
+    live = current_state_mor(table).collect()
+    assert len(live) == 1 and live[0].text == "v2"
+    compact_deltas(orch)
+    assert current_state(table).collect()[0].text == "v2"
+
+
 def test_mor_update_retention_and_delete_chain(spark, tmp_path):
     import datetime as dt
 

@@ -62,6 +62,11 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
         s = table.read_snapshot(sid)
         for fl in s.files.values():
             live.update(fl)
+        # Pending merge-on-read delta files are referenced from snapshot
+        # properties, not the base file map — they are live too.
+        for b in s.properties.get("delta_batches", []):
+            for fl in b["files"].values():
+                live.update(fl)
 
     data_root = os.path.join(table.path, "data")
     removed_files = 0
