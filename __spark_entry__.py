@@ -899,6 +899,92 @@ FROM events GROUP BY user_id
 """
 
 # ---------------------------------------------------------------------------
+# Q31 — the full MinHash -> LSH banding -> Jaccard-estimate dedup pipeline,
+# oracle-checked: both engines use the identical md5-derived hash family,
+# so signatures, band buckets, candidate pairs, and estimates all match.
+# ---------------------------------------------------------------------------
+
+_MH_HASHES = 32
+_MH_BANDS = 8
+_MH_ROWS = 4
+
+
+def q31_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_MH_HASHES, hash_fn="md5")
+    cands = lsh_candidate_pairs(sigs, bands=_MH_BANDS, rows_per_band=_MH_ROWS, hash_fn="md5")
+    out = minhash_jaccard_estimate(sigs, cands)
+    return out.select("doc_a", "doc_b", F.round("jaccard_est", 8).alias("jaccard_est"))
+
+
+def _q31_sql() -> str:
+    h = lambda expr, seed: (
+        f"CAST(('0x' || substr(md5('{seed}|' || {expr}), 1, 15)) AS BIGINT)"
+    )
+    mins = ",\n    ".join(
+        f"MIN({h('shingle', k)}) AS h{k}" for k in range(_MH_HASHES)
+    )
+    bands = ",\n    ".join(
+        "{} AS b{}".format(
+            h(
+                " || ',' || ".join(
+                    f"CAST(h{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+                ),
+                f"band{b}",
+            ),
+            b,
+        )
+        for b in range(_MH_BANDS)
+    )
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'bucket': b{b}}}" for b in range(_MH_BANDS)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(_MH_HASHES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, shingle
+  FROM toks, UNNEST(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+    END) AS u(shingle)),
+sig AS (
+  SELECT doc,
+    {mins}
+  FROM sh GROUP BY doc),
+banded AS (
+  SELECT doc,
+    {bands}
+  FROM sig),
+stacked AS (
+  SELECT doc, bb.band, bb.bucket
+  FROM banded, UNNEST([{band_structs}]) AS u(bb)),
+cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM stacked a JOIN stacked b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc)
+SELECT c.doc_a, c.doc_b,
+       round(({eq_terms}) * 1.0 / {_MH_HASHES}, 8) AS jaccard_est
+FROM cands c
+JOIN sig sa ON sa.doc = c.doc_a
+JOIN sig sb ON sb.doc = c.doc_b
+"""
+
+
+Q31_SQL = _q31_sql()
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -933,6 +1019,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_sk_repoint": q28_sk_repoint,
     "q29_mor_live_state": q29_mor_live_state,
     "q30_salted_agg": q30_salted_agg,
+    "q31_minhash_lsh_portable": q31_minhash_lsh_portable,
 }
 
 _ORACLES: dict[str, str] = {
@@ -965,6 +1052,7 @@ _ORACLES: dict[str, str] = {
     "q28_sk_repoint": Q28_SQL,
     "q29_mor_live_state": Q29_SQL,
     "q30_salted_agg": Q30_SQL,
+    "q31_minhash_lsh_portable": Q31_SQL,
 }
 
 

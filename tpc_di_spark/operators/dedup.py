@@ -86,19 +86,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def md5_hash64(c, seed) -> F.Column:
+    """Portable 60-bit hash: int of the first 15 hex chars of
+    md5('<seed>|' || value). Bit-identical in Spark and DuckDB (oracle-
+    checkable); slower than xxhash64, so the xxhash64 family remains the
+    default at scale."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), c)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _seeded_hash(c, seed, hash_fn: str) -> F.Column:
+    if hash_fn == "md5":
+        return md5_hash64(c, seed)
+    return F.xxhash64(c, F.lit(seed))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: for hash seed k, min over shingles
-    of xxhash64(shingle, k). One explode + one groupBy; signature is an
+    of hash(shingle, k). One explode + one groupBy; signature is an
     array<long> column."""
     sh = word_shingles(df, id_col, text_col, n)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+        F.min(_seeded_hash(F.col("shingle"), k, hash_fn)).alias(f"h{k}")
         for k in range(num_hashes)
     ]
     sig = sh.groupBy("doc").agg(*mins)
@@ -111,14 +128,16 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
     Explode to (band, bucket) keys, self-join per bucket — candidate
     generation is linear + per-bucket quadratic, the scalable path."""
-    n = bands * rows_per_band
     band_cols = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.col("signature")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)])
+        _seeded_hash(
+            F.concat_ws(",", *[F.col("signature")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]),
+            f"band{b}",
+            hash_fn,
         ).alias(f"b{b}")
         for b in range(bands)
     ]
