@@ -904,6 +904,24 @@ FROM events GROUP BY user_id
 # so signatures, band buckets, candidate pairs, and estimates all match.
 # ---------------------------------------------------------------------------
 
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.windows import sessionize
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(e, ["user_id"], "ts", "event_id", gap_minutes=30)
+    return out.select("event_id", "user_id", "session_idx")
+
+
+Q32_SQL = """
+SELECT event_id, user_id,
+       SUM(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+"""
+
 _MH_HASHES = 32
 _MH_BANDS = 8
 _MH_ROWS = 4
@@ -1020,6 +1038,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_mor_live_state": q29_mor_live_state,
     "q30_salted_agg": q30_salted_agg,
     "q31_minhash_lsh_portable": q31_minhash_lsh_portable,
+    "q32_sessionize": q32_sessionize,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1053,6 +1072,7 @@ _ORACLES: dict[str, str] = {
     "q29_mor_live_state": Q29_SQL,
     "q30_salted_agg": Q30_SQL,
     "q31_minhash_lsh_portable": Q31_SQL,
+    "q32_sessionize": Q32_SQL,
 }
 
 

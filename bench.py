@@ -120,8 +120,10 @@ def run_cdc_replay(cores: int, n_convs: int, n_incr: int) -> dict:
 def _pinned_replay(cores: int, n_convs: int, n_incr: int) -> dict:
     """Run one warmed-up replay in a fresh subprocess pinned to ``cores``
     physical CPUs."""
-    cmd = [
-        "taskset", "-c", f"0-{cores - 1}",
+    pin = (
+        ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
+    )
+    cmd = pin + [
         sys.executable, os.path.abspath(__file__),
         "--cdc-replay", str(cores), str(n_convs), str(n_incr),
     ]

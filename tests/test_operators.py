@@ -125,6 +125,23 @@ def test_band_join(spark):
     assert len(out) == 1 and out[0].sk == 20
 
 
+def test_sessionize(spark):
+    import datetime as dt
+
+    from tpc_di_spark.operators.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 10, t0),
+        (2, 10, t0 + dt.timedelta(minutes=10)),  # same session
+        (3, 10, t0 + dt.timedelta(minutes=50)),  # 40min gap -> new session
+        (4, 20, t0),  # other key -> own session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r.session_idx for r in sessionize(df, ["user_id"], "ts", "event_id").collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
 def test_running_balance_and_top1(spark):
     df = spark.createDataFrame(
         [(1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.0)], "k long, seq long, amt double"

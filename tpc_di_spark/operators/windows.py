@@ -162,6 +162,29 @@ def change_detect(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds the gap. lag + conditional
+    cumulative sum — one window exchange (the batch analogue of
+    Structured Streaming's session_window)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(ts_col).over(w)
+    new_session = (
+        prev.isNull()
+        | (F.col(ts_col) - prev > F.expr(f"INTERVAL {gap_minutes * 60} SECONDS"))
+    ).cast("int")
+    cum = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_idx", F.sum(new_session).over(cum))
+
+
 def scd2_from_log(
     df: DataFrame,
     key_cols: Sequence[str],
