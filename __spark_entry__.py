@@ -28,6 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DEC = "decimal(12,2)"
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Engine-query scratch tables, removed at interpreter exit (after the
+    driver has collected the returned DataFrames)."""
+    import atexit
+    import shutil as _shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -518,7 +529,7 @@ def q18_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    table_dir = tempfile.mkdtemp(prefix="cdc_q18_")
+    table_dir = _scratch_dir("cdc_q18_")
     table = bootstrap_table(
         spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
     )
@@ -852,7 +863,7 @@ def q29_mor_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _derive_change_events(spark, sf_dir)
-    table_dir = tempfile.mkdtemp(prefix="cdc_q29_")
+    table_dir = _scratch_dir("cdc_q29_")
     table = bootstrap_table(
         spark, os.path.join(table_dir, "t"), TRANSCRIPT_SCHEMA, num_buckets=16
     )
@@ -903,6 +914,39 @@ FROM events GROUP BY user_id
 # oracle-checked: both engines use the identical md5-derived hash family,
 # so signatures, band buckets, candidate pairs, and estimates all match.
 # ---------------------------------------------------------------------------
+
+def q33_fact_watches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M4 (watch place/cancel conditional upsert) as a query over a
+    watch-history stream derived deterministically from events."""
+    from tpc_di_spark.plans.reference_pipelines import build_fact_watches
+
+    e = _t(spark, sf_dir, "events")
+    wh = e.select(
+        F.col("user_id").cast("string").alias("w_c_id"),
+        F.col("event_type").alias("w_s_symb"),
+        F.col("ts").alias("w_dts"),
+        F.when(F.col("event_id") % 3 == 0, "CNCL").otherwise("ACTV").alias("w_action"),
+    )
+    return build_fact_watches(wh)
+
+
+Q33_SQL = """
+WITH wh AS (
+  SELECT CAST(user_id AS VARCHAR) AS w_c_id, event_type AS w_s_symb, ts AS w_dts,
+         CASE WHEN event_id % 3 = 0 THEN 'CNCL' ELSE 'ACTV' END AS w_action
+  FROM events),
+placed AS (
+  SELECT w_c_id, w_s_symb, MIN(w_dts) AS date_placed
+  FROM wh WHERE w_action = 'ACTV' GROUP BY w_c_id, w_s_symb),
+removed AS (
+  SELECT w_c_id, w_s_symb, MIN(w_dts) AS date_removed
+  FROM wh WHERE w_action = 'CNCL' GROUP BY w_c_id, w_s_symb)
+SELECT p.w_c_id AS customer_id, p.w_s_symb AS symbol, p.date_placed,
+       CASE WHEN r.date_removed >= p.date_placed THEN r.date_removed END AS date_removed
+FROM placed p LEFT JOIN removed r
+  ON p.w_c_id = r.w_c_id AND p.w_s_symb = r.w_s_symb
+"""
+
 
 def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpc_di_spark.operators.windows import sessionize
@@ -1039,6 +1083,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_salted_agg": q30_salted_agg,
     "q31_minhash_lsh_portable": q31_minhash_lsh_portable,
     "q32_sessionize": q32_sessionize,
+    "q33_fact_watches": q33_fact_watches,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1073,6 +1118,7 @@ _ORACLES: dict[str, str] = {
     "q30_salted_agg": Q30_SQL,
     "q31_minhash_lsh_portable": Q31_SQL,
     "q32_sessionize": Q32_SQL,
+    "q33_fact_watches": Q33_SQL,
 }
 
 
@@ -1087,7 +1133,7 @@ def entry(spark: SparkSession) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     sf_dir = "/root/testdata/sf0.001"
     ev = _derive_change_events(spark, sf_dir)
-    table_dir = tempfile.mkdtemp(prefix="cdc_entry_")
+    table_dir = _scratch_dir("cdc_entry_")
     table = bootstrap_table(
         spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
     )
