@@ -177,3 +177,17 @@ def test_streaming_foreachbatch_cdc(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert current_state(table).count() == 1
+
+    # MoR streaming mode with periodic compaction over a fresh table.
+    t2 = bootstrap_table(spark, str(tmp_path / "lake2"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    o2 = CdcOrchestrator(t2)
+    q3 = start_cdc_stream(
+        stream_events(spark, str(src) + "/*", max_files_per_trigger=1),
+        o2, str(tmp_path / "ckpt2"), mode="mor", compact_every=2,
+    )
+    q3.awaitTermination(120)
+    from tpc_di_spark.cdc.mor import pending_delta_batches
+
+    assert current_state(t2).count() == 1
+    assert current_state(t2).collect()[0].text == "hello-edited"
+    assert pending_delta_batches(t2.refresh()) == []

@@ -39,6 +39,8 @@ def start_cdc_stream(
     orchestrator: CdcOrchestrator,
     checkpoint_dir: str,
     base_batch_id: int = 1_000_000,
+    mode: str = "cow",
+    compact_every: int = 0,
 ) -> StreamingQuery:
     """Drive a change-event stream into the lake table.
 
@@ -46,10 +48,22 @@ def start_cdc_stream(
     re-delivered (not skipped) on restart; ``apply_batch`` keyed on
     ``base_batch_id + micro_batch_id`` makes the re-delivery idempotent,
     so the pair is end-to-end exactly-once.
+
+    mode='mor' appends each micro-batch as merge-on-read deltas (O(batch)
+    per trigger — the high-rate tail-ingest shape), optionally compacting
+    every ``compact_every`` micro-batches; mode='cow' merges copy-on-write
+    per micro-batch (read-optimized, heavier per trigger).
     """
+    from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        orchestrator.apply_batch(batch_df, base_batch_id + int(epoch_id))
+        bid = base_batch_id + int(epoch_id)
+        if mode == "mor":
+            apply_batch_mor(orchestrator, batch_df, bid)
+            if compact_every and (int(epoch_id) + 1) % compact_every == 0:
+                compact_deltas(orchestrator)
+        else:
+            orchestrator.apply_batch(batch_df, bid)
 
     return (
         events.writeStream.foreachBatch(apply)
