@@ -43,7 +43,7 @@ SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_CONVS = int(os.environ.get("BENCH_CDC_CONVS", "30000"))
 SCALE_TURNS = 50
 SCALE_INCR = int(os.environ.get("BENCH_CDC_INCR", "2250000"))
-BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "480"))
+BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "530"))
 
 
 def run_query_suite(cores: int) -> dict[str, float]:
