@@ -110,6 +110,34 @@ def test_asof_join_left(spark):
     assert got[2] is None
 
 
+def test_asof_join_grouped_matches_ranked(spark):
+    """The pandas merge_asof variant must agree with the join+rank form."""
+    import datetime as dt
+
+    from tpc_di_spark.operators.temporal_join import asof_join_grouped
+
+    probe = spark.createDataFrame(
+        [(i, f"k{i % 3}", dt.datetime(2024, 1, 1 + i % 20)) for i in range(60)],
+        "pid long, k string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [(f"k{j % 3}", dt.datetime(2024, 1, 1 + (j * 3) % 20), j) for j in range(15)],
+        "k string, bts timestamp, sk long",
+    )
+    # asof_join_by_id requires disjoint column names (documented); rename.
+    ranked = asof_join_by_id(
+        probe, build.withColumnRenamed("k", "bk"), "pid", ["k"], ["bk"],
+        "ts", "bts", tiebreak=["sk"], how="left",
+    ).select("pid", "sk")
+    grouped = asof_join_grouped(probe, build, ["k"], "ts", "bts").select("pid", "sk")
+    r = {x.pid: x.sk for x in ranked.collect()}
+    g = {x.pid: x.sk for x in grouped.collect()}
+    # Build timestamps are unique per key in this fixture, so the two
+    # formulations must agree exactly (ties would be implementation-
+    # defined: merge_asof takes the last row, the ranked form the max sk).
+    assert r == g
+
+
 def test_band_join(spark):
     fact = spark.createDataFrame(
         [("s1", dt.datetime(2024, 6, 1))], "sym string, ts timestamp"

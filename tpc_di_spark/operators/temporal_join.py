@@ -33,7 +33,9 @@ def asof_join_by_id(
     the heavy lifting is a plain shuffled equi-join Catalyst can plan
     (broadcast when the build side is small); the window ranks only each
     probe's candidate set. 'inner' drops probes with no as-of match,
-    'left' keeps them with NULL build columns.
+    'left' keeps them with NULL build columns. Probe and build column
+    names must be disjoint (rename before calling). For keys with deep
+    build-side history prefer ``asof_join_grouped`` (O(n+m) per key).
     """
     cond = F.lit(True)
     for pc, bc in zip(on_probe, on_build):
@@ -50,6 +52,58 @@ def asof_join_by_id(
             missing = missing.withColumn(c, F.lit(None).cast(dict(build.dtypes)[c]))
         best = best.unionByName(missing)
     return best
+
+
+def asof_join_grouped(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    probe_ts: str,
+    build_ts: str,
+) -> DataFrame:
+    """As-of join via per-key ``pd.merge_asof`` inside ``applyInPandas`` —
+    the Arrow-batched alternative to ``asof_join_by_id`` for keys with
+    DEEP build-side history, where the equi-join + rank plan would
+    materialize every candidate pair per probe row. One cogroup shuffle;
+    each group sorts once and merges in O(n+m).
+
+    Returns probe columns + build's non-key columns (NULL when no build
+    row is at-or-before the probe timestamp).
+    """
+    import pandas as pd
+
+    on = list(on)
+    build_payload = [c for c in build.columns if c not in on]
+    out_fields = probe.schema.fields + [
+        f for f in build.schema.fields if f.name in build_payload
+    ]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    probe_cols = probe.columns
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=probe_cols + build_payload)
+        left = left.sort_values(probe_ts, kind="mergesort")
+        if right.empty:
+            out = left.copy()
+            for c in build_payload:
+                out[c] = None
+            return out[probe_cols + build_payload]
+        right = right.sort_values(build_ts, kind="mergesort")
+        merged = pd.merge_asof(
+            left,
+            right[[build_ts] + [c for c in build_payload if c != build_ts]],
+            left_on=probe_ts,
+            right_on=build_ts,
+            direction="backward",
+        )
+        return merged[probe_cols + build_payload]
+
+    return probe.groupBy(*on).cogroup(build.groupBy(*on)).applyInPandas(
+        merge, schema=out_schema
+    )
 
 
 def band_join(
