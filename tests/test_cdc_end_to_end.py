@@ -230,3 +230,47 @@ def test_crash_resume_mid_batch(spark, tmp_path):
         current_state(t_ref).toPandas(),
         ["conv_id", "turn_idx"],
     )
+
+
+def test_resume_across_geometry_change(spark, tmp_path):
+    """A batch killed mid-apply in grouped mode then resumed in SINGLE-group
+    mode must not reuse the grouped manifest (which covers only the first
+    bucket group) as the whole-batch result — geometry is stamped into each
+    checkpoint manifest and a mismatch forces recomputation."""
+    batches = make_batches(spark, n_batches=2)
+
+    t_ref = bootstrap_table(spark, str(tmp_path / "ref"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    o_ref = CdcOrchestrator(t_ref, buckets_per_group=8)
+    for bid, df in batches:
+        o_ref.apply_batch(df, bid)
+
+    t = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    grouped = CdcOrchestrator(t, buckets_per_group=2)
+    grouped.apply_batch(batches[0][1], 1)
+
+    # Kill after the first group's manifest is sealed.
+    calls = {"n": 0}
+    orig = t.write_data_files
+
+    def flaky(df, tag):
+        if calls["n"] == 1:
+            raise RuntimeError("simulated kill")
+        calls["n"] += 1
+        return orig(df, tag)
+
+    t.write_data_files = flaky
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        grouped.apply_batch(batches[1][1], 2)
+    t.write_data_files = orig
+
+    # Resume under a DIFFERENT geometry: single-group fast path.
+    single = CdcOrchestrator(t, buckets_per_group=8)
+    rec = single.apply_batch(batches[1][1], 2)
+    assert not any(g.get("resumed") for g in rec["groups"]), (
+        "stale grouped manifest must be invalidated, not reused"
+    )
+    assert_pdf_equal(
+        current_state(t).toPandas(),
+        current_state(t_ref).toPandas(),
+        ["conv_id", "turn_idx"],
+    )

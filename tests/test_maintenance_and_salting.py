@@ -67,3 +67,19 @@ def test_salted_broadcast_join_matches_plain(spark):
     assert_pdf_equal(
         out.toPandas(), plain.toPandas(), ["key", "payload"]
     )
+
+
+def test_expire_snapshots_on_stale_handle_keeps_current_data(spark, tmp_path):
+    """expire_snapshots must derive the keep set from the ON-DISK current
+    snapshot: a stale handle (another writer committed since) would
+    otherwise delete data files the real current snapshot references."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+    t.append(mkrows(spark, 20, text="gen0"))
+
+    stale = LakeTable.load(spark, str(tmp_path / "t"))  # pins snapshot 1
+    t.append(mkrows(spark, 20, text="gen1"))
+    compact(t, max_files_per_bucket=0)  # rewrites everything -> new files
+
+    expire_snapshots(stale, keep_last=1)
+    # The actual current snapshot must still be fully readable.
+    assert t.refresh().read().count() == 40

@@ -136,6 +136,10 @@ def test_dim_company_financial_disjunctive_join(spark):
         [
             ("20240101-090000", "CMP", "Acme Corp", "0000000007", "AAA"),
             ("20240101-090001", "CMP", "Bad Rating Inc", "0000000008", "ZZZ"),
+            ("20240101-090002", "CMP", "Border Plus", "0000000009", "BBB+"),
+            ("20240101-090003", "CMP", "Border Minus", "0000000010", "BBB-"),
+            ("20240101-090004", "CMP", "No Rating Co", "0000000011", None),
+            ("20240101-090005", "CMP", "Junk Co", "0000000012", "CCC"),
         ],
         "pts string, rec_type string, company_name string, cik string, sp_rating string",
     )
@@ -145,7 +149,17 @@ def test_dim_company_financial_disjunctive_join(spark):
     assert rows[8].sp_rating is None and rows[8].alert_invalid_rating is True, (
         "invalid SPRating -> NULL + alert side-output (P12)"
     )
-    assert rows[7].is_low_grade is False and rows[8].is_low_grade is True
+    # `Historical/test.py:239`: not rating.startswith(('A','BBB')) — so
+    # BBB+/BBB- are investment grade, NULL rating gives False, and an
+    # invalid rating gives NULL (the reference raises on None, yields
+    # NULL-ish on out-of-domain).
+    assert rows[7].is_low_grade is False
+    assert rows[9].is_low_grade is False and rows[10].is_low_grade is False, (
+        "BBB+/BBB- startswith('BBB') -> NOT low grade"
+    )
+    assert rows[11].is_low_grade is False, "NULL rating -> False, not low grade"
+    assert rows[8].is_low_grade is None, "invalid rating -> NULL low-grade flag"
+    assert rows[12].is_low_grade is True, "CCC is low grade"
 
     fin = spark.createDataFrame(
         [

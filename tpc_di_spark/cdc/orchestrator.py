@@ -75,6 +75,26 @@ class CdcOrchestrator:
     def _metrics_path(self, batch_id: int) -> str:
         return os.path.join(self.table.path, _METRICS, f"batch-{batch_id:06d}.json")
 
+    def _geometry(self, group_buckets: list | None) -> dict:
+        """Group geometry stamped into every checkpoint manifest. A batch
+        killed mid-apply and resumed under a different geometry (e.g.
+        grouped -> single-group) must NOT reuse a manifest that covers only
+        part of the new group's buckets — the resume would silently drop
+        every bucket absent from the stale manifest."""
+        return {
+            "buckets_per_group": self.buckets_per_group,
+            "num_buckets": self.table.num_buckets,
+            "group_buckets": group_buckets,  # None = whole-table single group
+        }
+
+    @staticmethod
+    def _manifest_valid(manifest: dict, geometry: dict, table_path: str) -> bool:
+        return manifest.get("geometry") == geometry and all(
+            os.path.exists(os.path.join(table_path, rel))
+            for fl in manifest["files"].values()
+            for rel in fl
+        )
+
     def _maybe_evolve(self, events: DataFrame, batch_id: int) -> None:
         """Transactional evolve-then-apply: add payload columns the batch
         introduces (e.g. ``tool``) before touching any data."""
@@ -142,14 +162,11 @@ class CdcOrchestrator:
             n_deduped = 0
             for gi, buckets in enumerate(groups):
                 manifest_path = os.path.join(staging, f"group-{gi:03d}.done.json")
+                geometry = self._geometry(buckets)
                 if os.path.exists(manifest_path):
                     with open(manifest_path) as f:
                         manifest = json.load(f)
-                    if all(
-                        os.path.exists(os.path.join(self.table.path, rel))
-                        for fl in manifest["files"].values()
-                        for rel in fl
-                    ):
+                    if self._manifest_valid(manifest, geometry, self.table.path):
                         all_files.update(manifest["files"])
                         group_metrics.append({**manifest["metrics"], "resumed": True})
                         n_deduped += manifest["metrics"].get("events", 0)
@@ -182,7 +199,8 @@ class CdcOrchestrator:
                     "secs": round(time.monotonic() - g0, 3),
                 }
                 _atomic_write(
-                    manifest_path, json.dumps({"files": files, "metrics": metrics})
+                    manifest_path,
+                    json.dumps({"files": files, "metrics": metrics, "geometry": geometry}),
                 )
                 all_files.update(files)
                 group_metrics.append(metrics)
@@ -221,15 +239,12 @@ class CdcOrchestrator:
         staging = self._staging_dir(batch_id)
         os.makedirs(staging, exist_ok=True)
         manifest_path = os.path.join(staging, "group-000.done.json")
+        geometry = self._geometry(None)
         resumed = False
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 manifest = json.load(f)
-            if all(
-                os.path.exists(os.path.join(self.table.path, rel))
-                for fl in manifest["files"].values()
-                for rel in fl
-            ):
+            if self._manifest_valid(manifest, geometry, self.table.path):
                 files = manifest["files"]
                 metrics = {**manifest["metrics"], "resumed": True}
                 resumed = True
@@ -255,7 +270,10 @@ class CdcOrchestrator:
                 "rows_written": lineage_rows,
                 "secs": round(time.monotonic() - g0, 3),
             }
-            _atomic_write(manifest_path, json.dumps({"files": files, "metrics": metrics}))
+            _atomic_write(
+                manifest_path,
+                json.dumps({"files": files, "metrics": metrics, "geometry": geometry}),
+            )
 
         # Every pre-existing bucket was merged (and may have lost all its
         # rows to deletes), so the replaced set is old ∪ new buckets.

@@ -52,7 +52,13 @@ def compact(
 def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     """Drop snapshot metadata older than the last ``keep_last`` and delete
     data files no snapshot references anymore (orphans from compaction /
-    replaced buckets). The current snapshot is never touched."""
+    replaced buckets). The current snapshot is never touched.
+
+    Refreshes the handle first: the keep set must derive from the on-disk
+    current snapshot, or a stale handle would treat files referenced only
+    by newer snapshots (including the actual current one) as orphans and
+    permanently delete live data."""
+    table.refresh()
     history = table.history()
     keep_ids = {h["snapshot_id"] for h in history[-keep_last:]}
     keep_ids.add(table.snapshot.snapshot_id)
@@ -67,6 +73,13 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
         for b in s.properties.get("delta_batches", []):
             for fl in b["files"].values():
                 live.update(fl)
+
+    # Optimistic guard mirroring commit/_flip_version: if another writer
+    # committed between the refresh above and now, abort rather than delete
+    # files a newer snapshot references.
+    current = table._read_current_snapshot(table.path)
+    if current.snapshot_id != table.snapshot.snapshot_id:
+        return {"removed_files": 0, "removed_snapshots": 0, "aborted": "concurrent-commit"}
 
     data_root = os.path.join(table.path, "data")
     removed_files = 0

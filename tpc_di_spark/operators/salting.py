@@ -70,9 +70,14 @@ def salted_broadcast_join(
     fact, explode the dimension across all salt values, join on
     (key, salt). Because the dim side is exploded x buckets, it must be
     broadcast-sized; for big-big skew, rely on AQE skew-join instead."""
+    # Salt from the row's natural columns (never monotonically_increasing_id:
+    # task retries re-assign those ids, so the salt would differ between an
+    # attempt and its retry). A hash of the full row is retry/replay-stable.
     salted = skewed.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)).cast("int"),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets)
+        ).cast("int"),
     )
     exploded = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -229,8 +229,19 @@ def build_dim_company(cmp_records: DataFrame) -> DataFrame:
         F.col("cik").cast("long").alias("company_id"),
         F.col("company_name").alias("name"),
         F.col("sp_rating_valid").alias("sp_rating"),
-        (~F.coalesce(F.col("sp_rating_valid"), F.lit("")).startswith("A")
-         & ~(F.coalesce(F.col("sp_rating_valid"), F.lit("")) == "BBB")).alias("is_low_grade"),
+        # `Historical/test.py:239`: low grade = rating present and not
+        # startswith ('A', 'BBB') — so BBB+/BBB- are NOT low grade, a NULL
+        # rating gives False, and an invalid (non-domain) rating gives NULL.
+        F.when(
+            F.col("sp_rating_valid").isNull() & F.col("sp_rating").isNotNull(),
+            F.lit(None).cast("boolean"),
+        ).otherwise(
+            F.col("sp_rating_valid").isNotNull()
+            & ~(
+                F.col("sp_rating_valid").startswith("A")
+                | F.col("sp_rating_valid").startswith("BBB")
+            )
+        ).alias("is_low_grade"),
         (F.col("sp_rating_valid").isNull() & F.col("sp_rating").isNotNull()).alias("alert_invalid_rating"),
         F.to_timestamp(F.col("pts"), "yyyyMMdd-HHmmss").alias("effective_ts"),
     )
