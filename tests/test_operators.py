@@ -179,3 +179,54 @@ def test_running_balance_and_top1(spark):
     assert got[(1, 2)] == 15.0
     t1 = top1_per_key(df, ["k"], [F.col("seq").desc()]).collect()
     assert {(r.k, r.seq) for r in t1} == {(1, 2), (2, 1)}
+
+
+def test_trailing_extreme_with_argdate_ties_and_min(spark):
+    import datetime as dt
+
+    from tpc_di_spark.operators.windows import trailing_extreme_with_argdate
+
+    rows = [
+        # key A: value 9.0 appears twice in the window -> earliest date wins
+        ("A", dt.datetime(2024, 1, 1), 9.0),
+        ("A", dt.datetime(2024, 3, 1), 9.0),
+        ("A", dt.datetime(2024, 4, 1), 5.0),
+        # key A: a row >365d before 2025-06-01 must NOT count for it
+        ("A", dt.datetime(2025, 6, 1), 1.0),
+        # key B: single row
+        ("B", dt.datetime(2024, 1, 1), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, d timestamp, v double")
+    hi = {
+        (r.k, str(r.d.date())): (r.ext_value, str(r.ext_date.date()))
+        for r in trailing_extreme_with_argdate(df, "k", "d", "v").collect()
+    }
+    assert hi[("A", "2024-04-01")] == (9.0, "2024-01-01"), "tie -> earliest arg-date"
+    assert hi[("A", "2025-06-01")] == (1.0, "2025-06-01"), "window excludes >365d history"
+    assert hi[("B", "2024-01-01")] == (2.0, "2024-01-01")
+    lo = {
+        (r.k, str(r.d.date())): (r.ext_value, str(r.ext_date.date()))
+        for r in trailing_extreme_with_argdate(df, "k", "d", "v", extreme="min").collect()
+    }
+    assert lo[("A", "2024-04-01")] == (5.0, "2024-04-01")
+
+
+def test_trailing_sum_ratio_strictly_prior(spark):
+    import datetime as dt
+
+    from tpc_di_spark.operators.windows import trailing_sum_ratio
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1), 10.0),
+        ("A", dt.datetime(2024, 6, 1), 20.0),
+        # same-date peer must not contribute to the other's denominator
+        ("A", dt.datetime(2024, 6, 1), 30.0),
+        ("A", dt.datetime(2025, 7, 1), 40.0),  # >365d after 2024-06-01
+    ]
+    df = spark.createDataFrame(rows, "k string, d timestamp, v double")
+    out = {(r.k, str(r.d.date()), r.v): r for r in trailing_sum_ratio(df, "k", "d", "v").collect()}
+    first = out[("A", "2024-01-01", 10.0)]
+    assert first.trailing_sum is None and first.alert_no_history is True
+    assert out[("A", "2024-06-01", 20.0)].trailing_sum == 10.0, "strictly prior; same-date peer excluded"
+    assert out[("A", "2024-06-01", 30.0)].trailing_sum == 10.0
+    assert out[("A", "2025-07-01", 40.0)].trailing_sum is None, "window closed after 365d"

@@ -62,42 +62,35 @@ def trailing_extreme_with_argdate(
     SURVEY A2, the 52-week high/low of `Incremental1/
     IncrementalFactMarketHistory.py:169-272` ("MAX(DAYHIGH), MIN(SK_DateID)").
 
-    Implemented as a bounded range self-join (each probe row joins only
-    peer rows of the same key within the window) followed by a two-level
-    aggregate: the extreme, then the earliest peer date achieving it.
-    The join keys on ``key_col`` so Catalyst plans a shuffled hash/SMJ on
-    a fine-grained key; the date band is a post-join filter. At 100 TB the
-    band is bounded (365 days), so per-key fan-out is capped by history
-    depth, not table size.
+    ONE window pass: a range frame over the epoch-microsecond order key,
+    aggregating an ordered struct so the arg-date rides along with the
+    extreme — ``max(struct(value, -epoch(date)))`` picks the max value and,
+    among ties, the earliest date. One shuffle, no band self-join, no
+    re-join, no double execution (the round-1 shape ran the dominant join
+    twice). ``date_col`` must be a timestamp; rows sharing (key, date) see
+    the identical frame, so the trailing dedup is exact.
     """
-    probe = df.select(
-        F.col(key_col).alias("k"),
-        F.col(date_col).alias("d"),
-    ).distinct()
-    peer = df.select(
-        F.col(key_col).alias("k2"),
-        F.col(date_col).alias("pd"),
-        F.col(value_col).alias("pv"),
+    date_type = df.schema[date_col].dataType.simpleString()
+    us = F.unix_micros(F.col(date_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-days * 86_400_000_000, 0)
     )
-    j = probe.join(
-        peer,
-        (F.col("k") == F.col("k2"))
-        & (F.col("pd") >= F.col("d") - F.expr(f"INTERVAL {days} DAYS"))
-        & (F.col("pd") <= F.col("d")),
-    )
-    agg = F.max if extreme == "max" else F.min
-    ext = j.groupBy("k", "d").agg(agg("pv").alias("ext"))
-    j2 = j.join(ext, ["k", "d"]).filter(F.col("pv") == F.col("ext"))
-    return (
-        j2.groupBy("k", "d")
-        .agg(F.min("pd").alias("ext_date"), F.first("ext").alias("ext_value"))
-        .select(
-            F.col("k").alias(key_col),
-            F.col("d").alias(date_col),
-            F.col("ext_value"),
-            F.col("ext_date"),
-        )
-    )
+    if extreme == "max":
+        s = F.max(F.struct(F.col(value_col).alias("v"), (-us).alias("negus"))).over(w)
+        ext_value, ext_us = s["v"], -s["negus"]
+    elif extreme == "min":
+        s = F.min(F.struct(F.col(value_col).alias("v"), us.alias("us"))).over(w)
+        ext_value, ext_us = s["v"], s["us"]
+    else:
+        raise ValueError(f"extreme must be 'max' or 'min', got {extreme!r}")
+    return df.select(
+        F.col(key_col),
+        F.col(date_col),
+        ext_value.alias("ext_value"),
+        F.timestamp_micros(ext_us).cast(date_type).alias("ext_date"),
+    ).dropDuplicates([key_col, date_col])
 
 
 def trailing_sum_ratio(
@@ -111,36 +104,28 @@ def trailing_sum_ratio(
     the PERatio = close / sum(EPS over prior year) with NULL + alert when
     no earnings exist (`Incremental1/IncrementalFactMarketHistory.py:
     276-329`). The band is strictly prior ([d-365d, d)), so the current
-    row never contributes to its own denominator."""
-    probe = df.select(
-        F.col(key_col).alias("k"),
-        F.col(date_col).alias("d"),
-        F.col(value_col).alias("v"),
+    row (and same-date peers) never contribute to the denominator.
+
+    ONE window pass (SURVEY A3's recommended plan): a range frame
+    [-365d, -1µs] over the epoch-microsecond order key — one shuffle
+    instead of the round-1 band self-join. DECIMAL sum keeps the value
+    exact/associative; an empty frame sums to NULL = the no-history
+    alert."""
+    us = F.unix_micros(F.col(date_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-days * 86_400_000_000, -1)
     )
-    peer = df.select(
-        F.col(key_col).alias("k2"),
-        F.col(date_col).alias("pd"),
-        F.col(value_col).cast("decimal(18,2)").alias("pv"),
-    )
-    j = probe.join(
-        peer,
-        (F.col("k") == F.col("k2"))
-        & (F.col("pd") >= F.col("d") - F.expr(f"INTERVAL {days} DAYS"))
-        & (F.col("pd") < F.col("d")),
-        "left",
-    )
-    return (
-        j.groupBy("k", "d", "v")
-        .agg(F.sum("pv").cast("double").alias("trailing_sum"))
-        .select(
-            F.col("k").alias(key_col),
-            F.col("d").alias(date_col),
-            F.col("v").alias(value_col),
-            "trailing_sum",
-            F.try_divide(F.col("v"), F.col("trailing_sum")).alias("ratio"),
-            F.col("trailing_sum").isNull().alias("alert_no_history"),
-        )
-    )
+    tsum = F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast("double")
+    return df.select(
+        F.col(key_col),
+        F.col(date_col),
+        F.col(value_col),
+        tsum.alias("trailing_sum"),
+        F.try_divide(F.col(value_col), tsum).alias("ratio"),
+        tsum.isNull().alias("alert_no_history"),
+    ).dropDuplicates([key_col, date_col, value_col])
 
 
 def change_detect(
