@@ -738,25 +738,143 @@ def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q25 — SimHash signatures (rows-only: xxhash64-based)
+# Q25 — SimHash signatures, md5-portable 60-bit family: every signature is
+# oracle-checked bit-for-bit in DuckDB (the xxhash64 64-bit family stays the
+# scale-path default in operators/dedup.py, pytest-covered).
 # ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
 
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpc_di_spark.operators.dedup import simhash64
 
     d = _t(spark, sf_dir, "documents")
-    return simhash64(d, "doc_id", "text")
+    return simhash64(d, "doc_id", "text", hash_fn="md5", bits=_SIMHASH_BITS)
+
+
+def _simhash_sig_ctes(bits: int = _SIMHASH_BITS) -> str:
+    """Shared CTE block reproducing simhash64(hash_fn='md5') in DuckDB."""
+    h = "CAST(('0x' || substr(md5('0|' || tok), 1, 15)) AS BIGINT)"
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(regexp_replace(lower(trim(coalesce(text,''))), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, {h} AS h FROM toks),
+ssum AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id AS doc, {sig} AS simhash FROM ssum)"""
+
+
+Q25_SQL = "WITH " + _simhash_sig_ctes() + "\nSELECT doc, simhash FROM sig"
 
 
 # ---------------------------------------------------------------------------
-# Q26 — LSH-bucketed approximate top-k (rows-only: xxhash64 hyperplanes)
+# Q26 — LSH-bucketed approximate top-k. Hyperplanes are md5-derived plan-time
+# constants and the projection sign rides an exact DECIMAL fold, so buckets,
+# candidate sets, cosines, and ranks are all bit-identical in DuckDB — the
+# approximate path is fully oracle-checked.
 # ---------------------------------------------------------------------------
+
+_LSH_BITS, _LSH_TABLES, _LSH_DIM, _LSH_K = 8, 2, 64, 5
+
 
 def q26_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpc_di_spark.operators.similarity import lsh_bucketed_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(e, "vec_id", "embedding", k=5, bits=8, tables=2, dim=64)
+    return lsh_bucketed_topk(
+        e, "vec_id", "embedding", k=_LSH_K, bits=_LSH_BITS, tables=_LSH_TABLES, dim=_LSH_DIM
+    )
+
+
+def _q26_sql() -> str:
+    from tpc_di_spark.operators.similarity import hyperplane_components
+
+    def dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(c) for c in plane)
+        return (
+            f"list_sum(list_transform(list_zip(v, [{lits}]), "
+            "s -> CAST(struct_extract(s, 1) * struct_extract(s, 2) AS DECIMAL(38,12))))"
+        )
+
+    buckets = []
+    for t in range(_LSH_TABLES):
+        terms = " + ".join(
+            f"(CASE WHEN {dot(hyperplane_components(7 + t, b, _LSH_DIM))} >= 0"
+            f" THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+            for b in range(_LSH_BITS)
+        )
+        buckets.append(f"({terms}) AS bkt{t}")
+    bucket_structs = ", ".join(f"{{'t': {t}, 'bucket': bkt{t}}}" for t in range(_LSH_TABLES))
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+bk AS (SELECT vec_id, {", ".join(buckets)} FROM base),
+stacked AS (
+  SELECT vec_id, tb.t, tb.bucket
+  FROM bk, UNNEST([{bucket_structs}]) AS u(tb)),
+cands AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM stacked a JOIN stacked b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+norms AS (
+  SELECT vec_id, v,
+         sqrt(CAST(list_sum(list_transform(v, x -> CAST(x * x AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
+  FROM base),
+pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(list_zip(q.v, n.v),
+              s -> CAST((struct_extract(s, 1) * struct_extract(s, 2)) AS DECIMAL(38,12)))) AS DOUBLE)
+           / (q.nrm * n.nrm) AS cosine
+  FROM cands c
+  JOIN norms q ON q.vec_id = c.query_id
+  JOIN norms n ON n.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 8) AS cosine
+FROM ranked WHERE rank <= {_LSH_K}
+"""
+
+
+Q26_SQL = _q26_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q34 — SimHash Hamming-ball near-dup pairs (the pair-emitting tier). With
+# max_hamming <= slices-1 the bit-slice banding is pigeonhole-complete, so
+# the oracle is simply ALL pairs within the ball — the comparison proves the
+# LSH retrieval is exhaustive, not just plausible.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SLICES, _SIMHASH_MAXHAM = 6, 5
+
+
+def q34_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.dedup import simhash64, simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = simhash64(d, "doc_id", "text", hash_fn="md5", bits=_SIMHASH_BITS)
+    return simhash_near_dup_pairs(
+        sigs, bits=_SIMHASH_BITS, slices=_SIMHASH_SLICES, max_hamming=_SIMHASH_MAXHAM
+    )
+
+
+Q34_SQL = "WITH " + _simhash_sig_ctes() + f"""
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXHAM}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1084,6 +1202,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_minhash_lsh_portable": q31_minhash_lsh_portable,
     "q32_sessionize": q32_sessionize,
     "q33_fact_watches": q33_fact_watches,
+    "q34_simhash_neardups": q34_simhash_neardups,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1110,8 +1229,12 @@ _ORACLES: dict[str, str] = {
     "q21_trailing_sum_ratio": Q21_SQL,
     "q22_cosine_topk": Q22_SQL,
     "q23_ngram_jaccard": Q23_SQL,
-    # q24/q25/q26 are xxhash64-based (MinHash-LSH, SimHash, hyperplane
-    # LSH); DuckDB has no matching hash -> rows-only driver check.
+    # q24 is the xxhash64 MinHash-LSH scale path (DuckDB has no matching
+    # hash -> rows-only driver check); q31 is its md5-portable twin with
+    # the full oracle. q25/q26/q34 use portable hash families and are
+    # fully oracle-checked.
+    "q25_simhash": Q25_SQL,
+    "q26_lsh_topk": Q26_SQL,
     "q27_scalar_functions": Q27_SQL,
     "q28_sk_repoint": Q28_SQL,
     "q29_mor_live_state": Q29_SQL,
@@ -1119,6 +1242,7 @@ _ORACLES: dict[str, str] = {
     "q31_minhash_lsh_portable": Q31_SQL,
     "q32_sessionize": Q32_SQL,
     "q33_fact_watches": Q33_SQL,
+    "q34_simhash_neardups": Q34_SQL,
 }
 
 

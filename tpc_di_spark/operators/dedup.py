@@ -178,23 +178,91 @@ def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFra
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, sign of the sum of
-    (+1/-1) token-hash bits. Pure column expressions: explode tokens,
-    aggregate 64 signed sums, reassemble the bits."""
+def simhash64(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash over word tokens: per bit, sign of the sum of (+1/-1)
+    token-hash bits. Pure column expressions: explode tokens, aggregate
+    ``bits`` signed sums, reassemble the bits.
+
+    ``hash_fn='md5'`` with ``bits=60`` is the portable family (the token
+    hash is 60 bits wide, see ``md5_hash64``) — bit-identical in DuckDB,
+    so the full signature is oracle-checkable; xxhash64 remains the
+    64-bit default at scale."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"))
+    h = _seeded_hash(F.col("tok"), 0, hash_fn)
     sums = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = toks.groupBy("doc").agg(*sums)
-    bits = None
-    for b in range(64):
+    sig = None
+    for b in range(bits):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
-        bits = term if bits is None else bits.bitwiseXOR(term)
-    return agg.select("doc", bits.alias("simhash"))
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc",
+    sig_col: str = "simhash",
+    bits: int = 64,
+    slices: int = 8,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Hamming-ball retrieval over SimHash signatures — the pair-emitting
+    tier the signatures exist for. Bit-slice banding: split the signature
+    into ``slices`` contiguous slices; by pigeonhole, any pair within
+    Hamming distance d <= slices-1 differs in at most d slices, so at
+    least one slice matches exactly. A self-join on (slice_idx,
+    slice_value) generates candidates linearly in corpus size (quadratic
+    only within a slice bucket); exact popcount(xor) then verifies, so
+    with ``max_hamming <= slices - 1`` the output is EXACTLY the set of
+    pairs within the ball — no false negatives.
+    """
+    if max_hamming is None:
+        max_hamming = slices - 1
+    if max_hamming > slices - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} > slices-1={slices - 1}: pigeonhole "
+            "completeness needs at least one guaranteed-identical slice"
+        )
+    # Spread any remainder bits over the leading slices.
+    widths = [bits // slices + (1 if i < bits % slices else 0) for i in range(slices)]
+    offsets = [sum(widths[:i]) for i in range(slices)]
+    sig = F.col(sig_col)
+    slice_structs = [
+        F.struct(
+            F.lit(i).alias("slice"),
+            F.shiftright(sig, offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("val"),
+        )
+        for i in range(slices)
+    ]
+    stacked = signatures.select(
+        F.col(id_col).alias("doc"), sig.alias("_sig"), F.explode(F.array(*slice_structs)).alias("sl")
+    ).select("doc", "_sig", "sl.slice", "sl.val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)

@@ -12,6 +12,8 @@ No UDFs: dot products ride ``zip_with`` + ``aggregate`` (JVM codegen).
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -72,6 +74,18 @@ def cosine_topk_bruteforce(
     )
 
 
+def hyperplane_components(seed: int, b: int, dim: int) -> list[float]:
+    """±1 hyperplane components derived from md5(f"{seed}|{b}|{i}") —
+    deterministic plan-time CONSTANTS, identical in any engine (the SQL
+    oracle embeds the same literals), reproducible on any cluster with no
+    RNG state. Deriving them per row (the round-1 shape re-evaluated
+    dim x bits hashes per row) wasted work on values that never change."""
+    return [
+        1.0 if int(hashlib.md5(f"{seed}|{b}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     id_col: str,
@@ -80,25 +94,19 @@ def hyperplane_buckets(
     seed: int = 7,
     dim: int = 64,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector: bit b = sign(v . h_b),
-    hyperplanes derived deterministically from xxhash64(seed, b, i) — no
-    RNG state, reproducible on any cluster."""
-    def plane(b: int):
-        # Pseudo-random +-1 components per dimension.
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(b), i), F.lit(2)) == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        )
-
+    """Random-hyperplane LSH bucket id per vector: bit b = sign(v . h_b).
+    The projection rides the exact DECIMAL fold (like ``_dot``) so the
+    sign — and therefore every bucket id — is bit-identical across
+    engines and partitionings (a double fold's rounding could flip a
+    near-zero sign between runs)."""
     bucket = None
     v = F.col(vec_col)
     for b in range(bits):
+        plane = F.array(*[F.lit(c) for c in hyperplane_components(seed, b, dim)])
         d = F.aggregate(
-            F.zip_with(v, plane(b), lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.zip_with(v, plane, lambda x, h: (x.cast("double") * h).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+            lambda acc, x: (acc + x).cast(_DEC),
         )
         bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
@@ -114,15 +122,33 @@ def lsh_bucketed_topk(
     bits: int = 8,
     tables: int = 2,
     dim: int = 64,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates = vectors sharing an LSH bucket
     in any of ``tables`` independent hash tables; exact cosine + top-k over
     candidates only. Per-bucket self-joins keep the shuffle key-partitioned
-    and the candidate count ~N * bucket_occupancy instead of N^2."""
+    and the candidate count ~N * bucket_occupancy instead of N^2.
+
+    Tuning: recall tracks the candidate fraction ~= tables * 2^-bits *
+    (1 + bits * [probe_bits >= 1]); size ``bits`` ~ log2(N / target bucket
+    occupancy). ``probe_bits=1`` enables multi-probe — the query side also
+    probes every bucket at Hamming distance 1 from its own (flip each
+    bit), multiplying recall per table WITHOUT growing the indexed side or
+    adding tables; the classic high-recall shape at corpus scale.
+    Recall is measured against the exact baseline in
+    tests/test_operators.py::test_lsh_topk_recall_vs_exact."""
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits supports 0 (exact bucket) or 1 (flip each bit)")
     cands = None
     for t in range(tables):
         bk = hyperplane_buckets(emb, id_col, vec_col, bits=bits, seed=7 + t, dim=dim)
         a = bk.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
+        if probe_bits == 1:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
+            )
+            a = a.withColumn("bucket", F.explode(probes))
         b = bk.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
         pairs = a.join(b, ["bucket"]).filter(F.col("query_id") != F.col("neighbor_id")).drop("bucket")
         cands = pairs if cands is None else cands.unionByName(pairs)
