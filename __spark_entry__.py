@@ -878,6 +878,269 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAXHAM}
 
 
 # ---------------------------------------------------------------------------
+# Q35 — as-of LEFT join (probes with no as-of match kept with NULLs); the
+# left-path contract twin of q06 (SURVEY J5).
+# ---------------------------------------------------------------------------
+
+def q35_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.temporal_join import asof_join_by_id
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    out = asof_join_by_id(
+        e, o,
+        probe_id="event_id",
+        on_probe=["user_id"], on_build=["o_custkey"],
+        probe_ts="ts", build_ts="o_orderdate",
+        tiebreak=["o_orderkey"],
+        how="left",
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+Q35_SQL = """
+SELECT event_id, user_id, o_orderkey, o_orderdate
+FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+      FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q36 — as-of join through the Arrow merge_asof path (applyInPandas cogroup,
+# SURVEY U3/J5 deep-history variant). Deterministic tiebreak makes it agree
+# with the ranked form, so the oracle is the same left as-of SQL.
+# ---------------------------------------------------------------------------
+
+def q36_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.temporal_join import asof_join_grouped
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    out = asof_join_grouped(
+        e, o, on=["user_id"], probe_ts="ts", build_ts="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+Q36_SQL = Q35_SQL
+
+# ---------------------------------------------------------------------------
+# Q37 — DimBroker pipeline (`Historical/DimBroker.py:43-67`): P3 job-code
+# filter + A4 global-min EffectiveDate, over HR rows derived
+# deterministically from customer.
+# ---------------------------------------------------------------------------
+
+def q37_dim_broker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.plans.reference_pipelines import build_dim_broker
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hr = c.select(
+        F.format_string("E%09d", k).alias("employee_id"),
+        F.format_string("M%03d", k % 97).alias("manager_id"),
+        F.col("c_name").alias("first_name"),
+        F.col("c_mktsegment").alias("last_name"),
+        F.when(k % 5 == 0, F.lit(" ")).otherwise(F.substring("c_name", 1, 1)).alias("middle_initial"),
+        F.when(k % 3 == 0, F.lit("314")).otherwise(F.lit("200")).alias("job_code"),
+        F.format_string("B%02d", k % 11).alias("branch"),
+        F.format_string("O%02d", k % 13).alias("office"),
+        F.format_string("555-%04d", k % 10000).alias("phone"),
+    )
+    dim_date = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("sk_dateid"), F.col("o_orderdate").alias("datevalue")
+    )
+    out = build_dim_broker(hr, dim_date)
+    return out.select(
+        "sk_brokerid", "broker_id", "manager_id", "first_name", "last_name",
+        "middle_initial", "branch", "office", "phone", "is_current", "batch_id",
+        "effective_date",
+    )
+
+
+Q37_SQL = """
+WITH hr AS (
+  SELECT printf('E%09d', c_custkey) AS employee_id,
+         printf('M%03d', c_custkey % 97) AS manager_id,
+         c_name AS first_name,
+         c_mktsegment AS last_name,
+         CASE WHEN c_custkey % 5 = 0 THEN ' ' ELSE substr(c_name, 1, 1) END AS middle_initial,
+         CASE WHEN c_custkey % 3 = 0 THEN '314' ELSE '200' END AS job_code,
+         printf('B%02d', c_custkey % 11) AS branch,
+         printf('O%02d', c_custkey % 13) AS office,
+         printf('555-%04d', c_custkey % 10000) AS phone
+  FROM customer),
+earliest AS (SELECT MIN(o_orderdate) AS e FROM orders)
+SELECT CAST(row_number() OVER (ORDER BY employee_id) AS INT) AS sk_brokerid,
+       employee_id AS broker_id, manager_id, first_name, last_name,
+       NULLIF(trim(middle_initial), '') AS middle_initial,
+       branch, office, phone,
+       TRUE AS is_current, 1 AS batch_id,
+       (SELECT e FROM earliest) AS effective_date
+FROM hr WHERE job_code = '314'
+"""
+
+# ---------------------------------------------------------------------------
+# Q38 — FactHoldings enrich (`Historical/FactHoldings.py:31-76`): holding
+# history derived from lineitem joined against a DimTrade derived from
+# orders (misses -> NULL SKs, J9 left enrich).
+# ---------------------------------------------------------------------------
+
+def q38_fact_holdings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.plans.reference_pipelines import build_fact_holdings
+
+    l = _t(spark, sf_dir, "lineitem")
+    hh = l.select(
+        F.format_string("T%09d", F.col("l_orderkey")).alias("hh_t_id"),
+        F.format_string("H%09d", F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("hh_h_t_id"),
+        F.lit(0).alias("hh_before_qty"),
+        F.col("l_quantity").cast("int").alias("hh_after_qty"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    dim_trade = o.select(
+        F.format_string("T%09d", F.col("o_orderkey")).alias("t_id"),
+        F.col("o_custkey").alias("sk_customerid"),
+        (F.col("o_custkey") % 101).alias("sk_accountid"),
+        (F.col("o_orderkey") % 503).alias("sk_securityid"),
+        (F.col("o_orderkey") % 47).alias("sk_companyid"),
+        (F.col("o_orderkey") % 1000).alias("sk_closedateid"),
+        (F.col("o_orderkey") % 86400).alias("sk_closetimeid"),
+        F.col("o_totalprice").alias("t_trade_price"),
+    )
+    return build_fact_holdings(hh, dim_trade)
+
+
+Q38_SQL = """
+WITH hh AS (
+  SELECT printf('T%09d', l_orderkey) AS hh_t_id,
+         printf('H%09d', l_orderkey * 10 + l_linenumber) AS hh_h_t_id,
+         0 AS hh_before_qty,
+         CAST(l_quantity AS INT) AS hh_after_qty
+  FROM lineitem),
+dt AS (
+  SELECT printf('T%09d', o_orderkey) AS t_id,
+         o_custkey AS sk_customerid,
+         o_custkey % 101 AS sk_accountid,
+         o_orderkey % 503 AS sk_securityid,
+         o_orderkey % 47 AS sk_companyid,
+         o_orderkey % 1000 AS sk_closedateid,
+         o_orderkey % 86400 AS sk_closetimeid,
+         o_totalprice AS t_trade_price
+  FROM orders WHERE o_orderstatus = 'F')
+SELECT hh.hh_t_id AS trade_id,
+       hh.hh_h_t_id AS current_trade_id,
+       dt.sk_customerid, dt.sk_accountid, dt.sk_securityid, dt.sk_companyid,
+       dt.sk_closedateid AS sk_dateid, dt.sk_closetimeid AS sk_timeid,
+       dt.t_trade_price AS current_price,
+       hh.hh_after_qty AS current_holding,
+       1 AS batch_id
+FROM hh LEFT JOIN dt ON hh.hh_t_id = dt.t_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q39 — FactMarketHistory composition
+# (`Incremental1/IncrementalFactMarketHistory.py:169-329`): 52-week
+# high/low with arg-dates over a strict (d-365d, d] band, PERatio over
+# quarterly financials, dividend yield — all over market rows derived
+# deterministically from orders.
+# ---------------------------------------------------------------------------
+
+def q39_fact_market_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.plans.reference_pipelines import build_fact_market_history
+
+    from tpc_di_spark.operators.windows import top1_per_key
+
+    o = _t(spark, sf_dir, "orders")
+    daily = top1_per_key(
+        o.select(
+            F.format_string("S%03d", F.col("o_custkey") % 37).alias("dm_s_symb"),
+            F.col("o_orderdate").alias("dm_date"),
+            F.col("o_totalprice").alias("dm_close"),
+            (F.col("o_totalprice") + 10.0).alias("dm_high"),
+            (F.col("o_totalprice") - 10.0).alias("dm_low"),
+            F.col("o_orderkey"),
+        ),
+        ["dm_s_symb", "dm_date"],
+        [F.col("o_orderkey")],
+    ).drop("o_orderkey")
+    fin = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.format_string("S%03d", F.col("o_custkey") % 37).alias("dm_s_symb"),
+        F.col("o_orderdate").alias("qtr_start_date"),
+        ((F.col("o_custkey") % 100) / F.lit(10.0)).alias("eps"),
+    )
+    sec = daily.select("dm_s_symb").distinct().select(
+        F.col("dm_s_symb").alias("symbol"),
+        F.format_string("%d.5", F.expr("CAST(substr(dm_s_symb, 2) AS INT) % 4")).alias("dividend"),
+        (F.expr("CAST(substr(dm_s_symb, 2) AS INT)") % 2 == 0).alias("is_current"),
+    )
+    out = build_fact_market_history(daily, fin, sec)
+    return out.select(
+        "dm_s_symb", "dm_date", "dm_close",
+        "fiftytwoweekhigh", "fiftytwoweekhighdate",
+        "fiftytwoweeklow", "fiftytwoweeklowdate",
+        F.round("peratio", 8).alias("peratio"),
+        "alert_no_earnings",
+        F.round("yield", 8).alias("yield"),
+    )
+
+
+Q39_SQL = """
+WITH daily0 AS (
+  SELECT printf('S%03d', o_custkey % 37) AS sym, o_orderdate AS d,
+         o_totalprice AS close, o_totalprice + 10.0 AS high, o_totalprice - 10.0 AS low,
+         row_number() OVER (PARTITION BY printf('S%03d', o_custkey % 37), o_orderdate ORDER BY o_orderkey) AS rn
+  FROM orders),
+daily AS (SELECT sym, d, close, high, low FROM daily0 WHERE rn = 1),
+hi AS (
+  SELECT a.sym, a.d, MAX(b.high) AS v FROM daily a
+  JOIN daily b ON b.sym = a.sym AND b.d > a.d - INTERVAL 365 DAY AND b.d <= a.d
+  GROUP BY a.sym, a.d),
+hid AS (
+  SELECT a.sym, a.d, hi.v, MIN(b.d) AS vd FROM daily a
+  JOIN hi ON hi.sym = a.sym AND hi.d = a.d
+  JOIN daily b ON b.sym = a.sym AND b.d > a.d - INTERVAL 365 DAY AND b.d <= a.d AND b.high = hi.v
+  GROUP BY a.sym, a.d, hi.v),
+lo AS (
+  SELECT a.sym, a.d, MIN(b.low) AS v FROM daily a
+  JOIN daily b ON b.sym = a.sym AND b.d > a.d - INTERVAL 365 DAY AND b.d <= a.d
+  GROUP BY a.sym, a.d),
+lod AS (
+  SELECT a.sym, a.d, lo.v, MIN(b.d) AS vd FROM daily a
+  JOIN lo ON lo.sym = a.sym AND lo.d = a.d
+  JOIN daily b ON b.sym = a.sym AND b.d > a.d - INTERVAL 365 DAY AND b.d <= a.d AND b.low = lo.v
+  GROUP BY a.sym, a.d, lo.v),
+fin AS (
+  SELECT printf('S%03d', o_custkey % 37) AS sym, o_orderdate AS qd,
+         CAST((o_custkey % 100) / 10.0 AS DECIMAL(18,4)) AS eps
+  FROM orders WHERE o_orderkey % 7 = 0),
+eps AS (
+  SELECT a.sym, a.d, CAST(SUM(f.eps) AS DOUBLE) AS s FROM daily a
+  LEFT JOIN fin f ON f.sym = a.sym AND f.qd > a.d - INTERVAL 365 DAY AND f.qd <= a.d
+  GROUP BY a.sym, a.d),
+sec AS (
+  SELECT DISTINCT sym,
+         CAST(printf('%d.5', CAST(substr(sym, 2) AS INT) % 4) AS DOUBLE) AS dividend,
+         (CAST(substr(sym, 2) AS INT) % 2 = 0) AS is_current
+  FROM daily)
+SELECT a.sym AS dm_s_symb, a.d AS dm_date, a.close AS dm_close,
+       hid.v AS fiftytwoweekhigh, hid.vd AS fiftytwoweekhighdate,
+       lod.v AS fiftytwoweeklow, lod.vd AS fiftytwoweeklowdate,
+       round(CASE WHEN eps.s IS NOT NULL AND eps.s <> 0 THEN a.close / eps.s END, 8) AS peratio,
+       (eps.s IS NULL OR eps.s = 0) AS alert_no_earnings,
+       round(CASE WHEN sec.dividend IS NOT NULL AND sec.dividend <> 0
+                  THEN sec.dividend / a.close * 100 END, 8) AS "yield"
+FROM daily a
+JOIN hid ON hid.sym = a.sym AND hid.d = a.d
+JOIN lod ON lod.sym = a.sym AND lod.d = a.d
+LEFT JOIN eps ON eps.sym = a.sym AND eps.d = a.d
+LEFT JOIN (SELECT * FROM sec WHERE is_current) sec ON sec.sym = a.sym
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q27 — phone formatting + gender normalization + domain validation
 # (SURVEY P4, P5, P12, P13) over parts synthesized deterministically
 # ---------------------------------------------------------------------------
@@ -1203,6 +1466,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_sessionize": q32_sessionize,
     "q33_fact_watches": q33_fact_watches,
     "q34_simhash_neardups": q34_simhash_neardups,
+    "q35_asof_left": q35_asof_left,
+    "q36_asof_grouped": q36_asof_grouped,
+    "q37_dim_broker": q37_dim_broker,
+    "q38_fact_holdings": q38_fact_holdings,
+    "q39_fact_market_history": q39_fact_market_history,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1243,6 +1511,11 @@ _ORACLES: dict[str, str] = {
     "q32_sessionize": Q32_SQL,
     "q33_fact_watches": Q33_SQL,
     "q34_simhash_neardups": Q34_SQL,
+    "q35_asof_left": Q35_SQL,
+    "q36_asof_grouped": Q36_SQL,
+    "q37_dim_broker": Q37_SQL,
+    "q38_fact_holdings": Q38_SQL,
+    "q39_fact_market_history": Q39_SQL,
 }
 
 

@@ -216,3 +216,131 @@ def test_prospect_change_detection_and_is_customer(spark):
     assert out["A2"].marketing_nameplate == "MoneyAlert"
     # Reference rule check: Inherited needs age<25 AND net_worth>1M
     # (prospect.py:210); A1 is 50yo so no Inherited despite net worth.
+
+
+def test_dim_broker_job_code_filter_and_earliest_date(spark):
+    from tpc_di_spark.plans.reference_pipelines import build_dim_broker
+
+    hr = spark.createDataFrame(
+        [
+            ("E1", "M1", "Ann", "Ames", " ", "314", "B1", "O1", "555-0001"),
+            ("E2", "M1", "Bob", "Beal", "Q", "314", "B1", "O2", "555-0002"),
+            ("E3", "M2", "Cat", "Cole", "R", "200", "B2", "O3", "555-0003"),  # not a broker
+        ],
+        "employee_id string, manager_id string, first_name string, last_name string, "
+        "middle_initial string, job_code string, branch string, office string, phone string",
+    )
+    dim_date = spark.createDataFrame(
+        [(1, dt.datetime(1999, 1, 4)), (2, dt.datetime(1998, 12, 28))],
+        "sk_dateid long, datevalue timestamp",
+    )
+    out = {r.broker_id: r for r in build_dim_broker(hr, dim_date).collect()}
+    assert set(out) == {"E1", "E2"}, "P3: only job code 314 rows are brokers"
+    assert out["E1"].middle_initial is None, "blank MI trims to NULL (P11)"
+    assert out["E2"].middle_initial == "Q"
+    assert out["E1"].effective_date == dt.datetime(1998, 12, 28), (
+        "A4: EffectiveDate = global-min DimDate value (DimBroker.py:36-41)"
+    )
+    assert out["E1"].is_current is True and out["E1"].batch_id == 1
+    assert {r.sk_brokerid for r in out.values()} == {1, 2}, "M5 deterministic SKs"
+
+
+def test_dim_security_temporal_disjunctive_match(spark):
+    from tpc_di_spark.plans.reference_pipelines import build_dim_security
+
+    dim_company = spark.createDataFrame(
+        [
+            # Acme has two SCD2 versions; the SEC pts must hit the right band
+            (10, "Acme Corp", 7, dt.datetime(2020, 1, 1), dt.datetime(2022, 1, 1)),
+            (11, "Acme Corp", 7, dt.datetime(2022, 1, 1), dt.datetime(9999, 12, 31)),
+            (20, "Beta Inc", 8, dt.datetime(2020, 1, 1), dt.datetime(9999, 12, 31)),
+        ],
+        "sk_companyid long, name string, company_id long, effective_ts timestamp, end_ts timestamp",
+    )
+    status = spark.createDataFrame([("ACTV", "Active")], "st_id string, st_name string")
+    sec = spark.createDataFrame(
+        [
+            (dt.datetime(2021, 6, 1), "AAA", "COMMON", "Acme A", "NYSE", "1000",
+             "19990101", "19990101", "0.50", "Acme Corp", "ACTV"),
+            (dt.datetime(2023, 6, 1), "AAB", "COMMON", "Acme B", "NYSE", "1000",
+             "19990101", "19990101", "0.75", "Acme Corp", "ACTV"),
+            (dt.datetime(2021, 6, 1), "BBB", "COMMON", "Beta B", "NYSE", "500",
+             "19990101", "19990101", " ", "0000000008", "ACTV"),
+            (dt.datetime(2021, 6, 1), "ZZZ", "COMMON", "Ghost", "NYSE", "1",
+             "19990101", "19990101", "0", "No Such Co", "XXXX"),
+        ],
+        "pts timestamp, symbol string, issue_type string, name string, ex_id string, "
+        "sh_out string, first_trade_date string, first_trade_exchg string, dividend string, "
+        "co_name_or_cik string, status string",
+    )
+    out = {r.symbol: r for r in build_dim_security(sec, dim_company, status).collect()}
+    assert out["AAA"].sk_companyid == 10, "pts in first SCD2 band -> version 1 SK (J5)"
+    assert out["AAB"].sk_companyid == 11, "pts in second band -> version 2 SK"
+    assert out["BBB"].sk_companyid == 20, "matched by zero-padded CIK (J6)"
+    assert out["ZZZ"].sk_companyid is None and out["ZZZ"].status_name is None
+    assert out["BBB"].dividend is None, "blank dividend trims to NULL (P11)"
+    assert out["AAA"].status_name == "Active" and out["AAA"].is_current is True
+
+
+def test_fact_holdings_enrich_join(spark):
+    from tpc_di_spark.plans.reference_pipelines import build_fact_holdings
+
+    hh = spark.createDataFrame(
+        [("T1", "H1", 0, 100), ("T2", "H2", 100, 50), ("T9", "H3", 0, 10)],
+        "hh_t_id string, hh_h_t_id string, hh_before_qty int, hh_after_qty int",
+    )
+    dim_trade = spark.createDataFrame(
+        [("T1", 1, 2, 3, 4, 11, 12, 9.5), ("T2", 5, 6, 7, 8, 13, 14, 2.25)],
+        "t_id string, sk_customerid long, sk_accountid long, sk_securityid long, "
+        "sk_companyid long, sk_closedateid long, sk_closetimeid long, t_trade_price double",
+    )
+    out = {r.trade_id: r for r in build_fact_holdings(hh, dim_trade).collect()}
+    assert out["T1"].sk_customerid == 1 and out["T1"].current_price == 9.5
+    assert out["T1"].current_holding == 100, "CurrentHolding = HH_AFTER_QTY"
+    assert out["T2"].sk_dateid == 13 and out["T2"].sk_timeid == 14
+    assert out["T9"].sk_customerid is None, (
+        "unknown trade -> NULL SKs (set-based left join; the reference "
+        "fabricates 1s per-row, FactHoldings.py:42)"
+    )
+
+
+def test_fact_market_history_composition(spark):
+    from tpc_di_spark.plans.reference_pipelines import build_fact_market_history
+
+    d = dt.datetime
+    daily = spark.createDataFrame(
+        [
+            # 2024 is a leap year: 2024-12-31 minus 365d = 2024-01-01.
+            ("S", d(2024, 1, 1), 10.0, 99.0, 1.0),   # exactly one year earlier: EXCLUDED
+            ("S", d(2024, 1, 2), 10.0, 50.0, 2.0),
+            ("S", d(2024, 12, 31), 20.0, 30.0, 5.0),
+            ("Z", d(2024, 6, 1), 8.0, 8.0, 8.0),     # no financials, no dividend
+        ],
+        "dm_s_symb string, dm_date timestamp, dm_close double, dm_high double, dm_low double",
+    )
+    fin = spark.createDataFrame(
+        [
+            ("S", d(2024, 1, 1), 1.0),   # exactly one year before 2024-12-31: EXCLUDED
+            ("S", d(2024, 6, 1), 2.0),
+            ("S", d(2024, 12, 31), 3.0),  # same-day quarter start: INCLUDED
+        ],
+        "dm_s_symb string, qtr_start_date timestamp, eps double",
+    )
+    sec = spark.createDataFrame(
+        [("S", "2.0", True), ("S", "9.9", False), ("Z", "0", True)],
+        "symbol string, dividend string, is_current boolean",
+    )
+    out = {(r.dm_s_symb, str(r.dm_date.date())): r
+           for r in build_fact_market_history(daily, fin, sec).collect()}
+    r = out[("S", "2024-12-31")]
+    assert r.fiftytwoweekhigh == 50.0, "(d-365d, d] band: the 99 at exactly -365d is out"
+    assert str(r.fiftytwoweekhighdate.date()) == "2024-01-02"
+    assert r.fiftytwoweeklow == 2.0 and str(r.fiftytwoweeklowdate.date()) == "2024-01-02"
+    assert r.peratio == 20.0 / 5.0, "eps sum = 2+3 (the -365d quarter is out, same-day in)"
+    assert r.alert_no_earnings is False
+    assert r["yield"] == 2.0 / 20.0 * 100, "dividend from the IsCurrent row only"
+    z = out[("Z", "2024-06-01")]
+    assert z.peratio is None and z.alert_no_earnings is True
+    assert z["yield"] is None, "zero dividend -> NULL yield (ref `if dividend:`)"
+    first = out[("S", "2024-01-01")]
+    assert first.fiftytwoweekhigh == 99.0, "window includes the current row"

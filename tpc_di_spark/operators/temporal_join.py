@@ -60,6 +60,7 @@ def asof_join_grouped(
     on: Sequence[str],
     probe_ts: str,
     build_ts: str,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """As-of join via per-key ``pd.merge_asof`` inside ``applyInPandas`` —
     the Arrow-batched alternative to ``asof_join_by_id`` for keys with
@@ -68,11 +69,16 @@ def asof_join_grouped(
     each group sorts once and merges in O(n+m).
 
     Returns probe columns + build's non-key columns (NULL when no build
-    row is at-or-before the probe timestamp).
+    row is at-or-before the probe timestamp). ``tiebreak`` makes ties on
+    ``build_ts`` deterministic: the build side is sorted by
+    (build_ts, *tiebreak) and merge_asof takes the LAST qualifying row,
+    i.e. the max tiebreak among tied timestamps — the same row the
+    desc-ranked ``asof_join_by_id`` picks.
     """
     import pandas as pd
 
     on = list(on)
+    tiebreak = list(tiebreak)
     build_payload = [c for c in build.columns if c not in on]
     out_fields = probe.schema.fields + [
         f for f in build.schema.fields if f.name in build_payload
@@ -91,7 +97,7 @@ def asof_join_grouped(
             for c in build_payload:
                 out[c] = None
             return out[probe_cols + build_payload]
-        right = right.sort_values(build_ts, kind="mergesort")
+        right = right.sort_values([build_ts] + tiebreak, kind="mergesort")
         merged = pd.merge_asof(
             left,
             right[[build_ts] + [c for c in build_payload if c != build_ts]],

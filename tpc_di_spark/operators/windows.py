@@ -57,6 +57,7 @@ def trailing_extreme_with_argdate(
     value_col: str,
     days: int = 365,
     extreme: str = "max",
+    lower_exclusive: bool = False,
 ) -> DataFrame:
     """Trailing N-day extreme with the earliest date it occurred —
     SURVEY A2, the 52-week high/low of `Incremental1/
@@ -69,14 +70,15 @@ def trailing_extreme_with_argdate(
     re-join, no double execution (the round-1 shape ran the dominant join
     twice). ``date_col`` must be a timestamp; rows sharing (key, date) see
     the identical frame, so the trailing dedup is exact.
+
+    ``lower_exclusive=True`` makes the band (d-N, d] — the reference's
+    "SK_DateID > one year earlier" comparison
+    (`Incremental1/IncrementalFactMarketHistory.py:222`).
     """
     date_type = df.schema[date_col].dataType.simpleString()
     us = F.unix_micros(F.col(date_col).cast("timestamp"))
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(us)
-        .rangeBetween(-days * 86_400_000_000, 0)
-    )
+    lower = -days * 86_400_000_000 + (1 if lower_exclusive else 0)
+    w = Window.partitionBy(key_col).orderBy(us).rangeBetween(lower, 0)
     if extreme == "max":
         s = F.max(F.struct(F.col(value_col).alias("v"), (-us).alias("negus"))).over(w)
         ext_value, ext_us = s["v"], -s["negus"]

@@ -343,3 +343,227 @@ def build_prospect(
     return p.join(F.broadcast(probe), match_cond, "left").withColumn(
         "is_customer", F.col("_m_first_name").isNotNull()
     ).drop("_m_first_name", "_m_last_name", "_m_address_line1", "_m_postal_code")
+
+
+# ---------------------------------------------------------------------------
+# DimBroker — `Historical/DimBroker.py:43-67`: P3 filter on job code 314,
+# A4 global-min EffectiveDate from DimDate, SCD2 defaults (P8), M5 SKs.
+# ---------------------------------------------------------------------------
+
+def build_dim_broker(hr: DataFrame, dim_date: DataFrame, batch_id: int = 1) -> DataFrame:
+    """``hr``: HR.csv columns (employee_id, manager_id, first_name,
+    last_name, middle_initial, job_code, branch, office, phone).
+    EffectiveDate is the earliest DimDate value (`DimBroker.py:36-41`) —
+    an A4 global-min scalar broadcast onto every row instead of the
+    reference's per-run SELECT MIN round trip."""
+    brokers = hr.filter(F.col("job_code") == "314")
+    earliest = dim_date.agg(F.min("datevalue").alias("_earliest"))
+    return brokers.crossJoin(F.broadcast(earliest)).select(
+        F.row_number().over(Window.orderBy("employee_id")).alias("sk_brokerid"),  # M5
+        F.col("employee_id").alias("broker_id"),
+        F.col("manager_id"),
+        F.col("first_name"),
+        F.col("last_name"),
+        nullif_trim(F.col("middle_initial")).alias("middle_initial"),  # P11
+        F.col("branch"),
+        F.col("office"),
+        F.col("phone"),
+        F.lit(True).alias("is_current"),
+        F.lit(batch_id).alias("batch_id"),
+        F.col("_earliest").alias("effective_date"),
+        F.to_timestamp(F.lit(f"{END_OF_TIME} 00:00:00")).alias("end_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DimSecurity — `Historical/test.py:389-440`: trim-to-NULL (P11), temporal
+# disjunctive company match (J5+J6), status lookup (J2), SCD2 defaults (P8).
+# ---------------------------------------------------------------------------
+
+def build_dim_security(
+    sec_records: DataFrame,
+    dim_company: DataFrame,
+    status_type: DataFrame,
+    batch_id: int = 1,
+) -> DataFrame:
+    """``sec_records``: FINWIRE SEC rows (pts timestamp, symbol, issue_type,
+    name, ex_id, sh_out, first_trade_date, first_trade_exchg, dividend,
+    co_name_or_cik, status). ``dim_company`` must carry (sk_companyid,
+    name, company_id, effective_ts, end_ts).
+
+    The reference scans dim_company per SEC record for
+    ``EffectiveDate <= pts < EndDate and (Name == c or CompanyID == c)``
+    (`test.py:407-410`); here that is two broadcast band joins (name path,
+    zero-padded-CIK path) + coalesce — J6's no-theta-join shape on top of
+    J5's validity band."""
+    s = sec_records.select(
+        "pts",
+        *[
+            nullif_trim(F.col(c)).alias(c)
+            for c in (
+                "symbol", "issue_type", "name", "ex_id", "sh_out",
+                "first_trade_date", "first_trade_exchg", "dividend",
+                "co_name_or_cik", "status",
+            )
+        ],
+    )
+    by_name = dim_company.select(
+        F.col("name").alias("_m_name"),
+        F.col("effective_ts").alias("_eff_a"),
+        F.col("end_ts").alias("_end_a"),
+        F.col("sk_companyid").alias("_sk_a"),
+    )
+    by_cik = dim_company.select(
+        F.format_string("%010d", F.col("company_id")).alias("_m_cik"),
+        F.col("effective_ts").alias("_eff_b"),
+        F.col("end_ts").alias("_end_b"),
+        F.col("sk_companyid").alias("_sk_b"),
+    )
+    j = s.join(
+        F.broadcast(by_name),
+        (s.co_name_or_cik == F.col("_m_name"))
+        & (F.col("_eff_a") <= s.pts) & (s.pts < F.col("_end_a")),
+        "left",
+    ).join(
+        F.broadcast(by_cik),
+        (s.co_name_or_cik == F.col("_m_cik"))
+        & (F.col("_eff_b") <= s.pts) & (s.pts < F.col("_end_b")),
+        "left",
+    )
+    st = status_type.select(
+        F.col("st_id").alias("status"), F.col("st_name").alias("_status_name")
+    )
+    j = j.join(F.broadcast(st), "status", "left")
+    return j.select(
+        F.row_number().over(Window.orderBy("pts", "symbol")).alias("sk_securityid"),  # M5
+        F.coalesce(F.col("_sk_a"), F.col("_sk_b")).alias("sk_companyid"),
+        "symbol",
+        F.col("issue_type").alias("issue"),
+        "name",
+        F.col("ex_id").alias("exchange_id"),
+        F.col("sh_out").alias("shares_outstanding"),
+        F.col("first_trade_date").alias("first_trade"),
+        F.col("first_trade_exchg").alias("first_trade_on_exchange"),
+        "dividend",
+        F.col("_status_name").alias("status_name"),
+        F.lit(True).alias("is_current"),
+        F.col("pts").alias("effective_ts"),
+        F.to_timestamp(F.lit(f"{END_OF_TIME} 00:00:00")).alias("end_ts"),
+        F.lit(batch_id).alias("batch_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FactHoldings — `Historical/FactHoldings.py:31-76`: J9 fact-enrich join
+# replacing the reference's per-row DimTrade SELECT (the N+1 anti-pattern).
+# ---------------------------------------------------------------------------
+
+def build_fact_holdings(holding_history: DataFrame, dim_trade: DataFrame, batch_id: int = 1) -> DataFrame:
+    """``holding_history``: (hh_t_id, hh_h_t_id, hh_before_qty,
+    hh_after_qty). ``dim_trade``: (t_id, sk_customerid, sk_accountid,
+    sk_securityid, sk_companyid, sk_closedateid, sk_closetimeid,
+    t_trade_price). Plain shuffled equi-join — both sides are fact-sized,
+    so AQE picks the physical strategy; no broadcast of a fact."""
+    dt = dim_trade.select(
+        F.col("t_id").alias("_t"),
+        "sk_customerid", "sk_accountid", "sk_securityid", "sk_companyid",
+        F.col("sk_closedateid").alias("sk_dateid"),
+        F.col("sk_closetimeid").alias("sk_timeid"),
+        F.col("t_trade_price").alias("current_price"),
+    )
+    return holding_history.join(dt, holding_history.hh_t_id == F.col("_t"), "left").select(
+        F.col("hh_t_id").alias("trade_id"),
+        F.col("hh_h_t_id").alias("current_trade_id"),
+        "sk_customerid", "sk_accountid", "sk_securityid", "sk_companyid",
+        "sk_dateid", "sk_timeid", "current_price",
+        F.col("hh_after_qty").alias("current_holding"),
+        F.lit(batch_id).alias("batch_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FactMarketHistory — `Incremental1/IncrementalFactMarketHistory.py:169-329`:
+# the full composition A2 (52-week high/low + arg-date) + A3/J9 (PERatio
+# over FINWIRE financials) + J2-style dividend lookup for Yield.
+# ---------------------------------------------------------------------------
+
+def build_fact_market_history(
+    daily_market: DataFrame,
+    financials: DataFrame,
+    dim_security: DataFrame,
+) -> DataFrame:
+    """``daily_market``: (dm_s_symb, dm_date timestamp, dm_close, dm_high,
+    dm_low). ``financials``: build_financials output joined to a
+    symbol (sk_companyid->symbol resolution done by the caller) as
+    (dm_s_symb, qtr_start_date timestamp, eps). ``dim_security``:
+    (symbol, dividend, is_current).
+
+    Reference semantics reproduced exactly:
+    - 52-wk bands are (d - 365d, d] — strictly greater than one year
+      earlier (`:222-229`) — via ``lower_exclusive=True``; the current
+      row participates, subsuming the reference's "if history < today's
+      high, take today" fallback (`:241-243`, which exists only because
+      its window scans the pre-insert table).
+    - PERatio = dm_close / sum(eps) over quarters in (d-365d, d]
+      (`:278-287`); eps sum NULL *or zero* -> NULL PERatio + alert
+      (`:296-298`, ``if eps:`` is falsy for 0).
+    - Yield = dividend / dm_close * 100 from the IsCurrent security row
+      (`:305-325`); zero dividend -> NULL (``if dividend:``).
+
+    Shape: one window pass per extreme + a bounded band join against the
+    quarterly financials (<= 4 rows/key/yr) + a broadcast dividend lookup.
+    """
+    from tpc_di_spark.operators.windows import trailing_extreme_with_argdate
+
+    hi = trailing_extreme_with_argdate(
+        daily_market, "dm_s_symb", "dm_date", "dm_high", days=365,
+        extreme="max", lower_exclusive=True,
+    ).withColumnsRenamed({"ext_value": "fiftytwoweekhigh", "ext_date": "fiftytwoweekhighdate"})
+    lo = trailing_extreme_with_argdate(
+        daily_market, "dm_s_symb", "dm_date", "dm_low", days=365,
+        extreme="min", lower_exclusive=True,
+    ).withColumnsRenamed({"ext_value": "fiftytwoweeklow", "ext_date": "fiftytwoweeklowdate"})
+
+    fin = financials.select(
+        F.col("dm_s_symb"), F.col("qtr_start_date"), F.col("eps").cast("decimal(18,4)").alias("_eps")
+    )
+    eps = (
+        daily_market.select("dm_s_symb", "dm_date").distinct()
+        .join(
+            fin,
+            (daily_market.dm_s_symb == fin.dm_s_symb)
+            & (fin.qtr_start_date > daily_market.dm_date - F.expr("INTERVAL 365 DAYS"))
+            & (fin.qtr_start_date <= daily_market.dm_date),
+            "left",
+        )
+        .groupBy(daily_market.dm_s_symb.alias("dm_s_symb"), "dm_date")
+        .agg(F.sum("_eps").cast("double").alias("_eps_sum"))
+    )
+
+    div = dim_security.filter(F.col("is_current")).select(
+        F.col("symbol").alias("dm_s_symb"), F.col("dividend").cast("double").alias("_dividend")
+    )
+
+    out = (
+        daily_market
+        .join(hi, ["dm_s_symb", "dm_date"])
+        .join(lo, ["dm_s_symb", "dm_date"])
+        .join(eps, ["dm_s_symb", "dm_date"], "left")
+        .join(F.broadcast(div), "dm_s_symb", "left")
+    )
+    pe = F.when(
+        F.col("_eps_sum").isNotNull() & (F.col("_eps_sum") != 0),
+        F.col("dm_close") / F.col("_eps_sum"),
+    )
+    yld = F.when(
+        F.col("_dividend").isNotNull() & (F.col("_dividend") != 0),
+        F.col("_dividend") / F.col("dm_close") * 100,
+    )
+    return out.select(
+        "dm_s_symb", "dm_date", "dm_close", "dm_high", "dm_low",
+        "fiftytwoweekhigh", "fiftytwoweekhighdate",
+        "fiftytwoweeklow", "fiftytwoweeklowdate",
+        pe.alias("peratio"),
+        (F.col("_eps_sum").isNull() | (F.col("_eps_sum") == 0)).alias("alert_no_earnings"),
+        yld.alias("yield"),
+    )
