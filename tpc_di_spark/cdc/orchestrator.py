@@ -30,12 +30,9 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
-import uuid
 from typing import Sequence
 
-import pyarrow.parquet as pq
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType
@@ -47,7 +44,7 @@ from tpc_di_spark.cdc.apply import (
     lww_dedup,
     merge_batch_rows,
 )
-from tpc_di_spark.lake.table import LakeTable, _atomic_write
+from tpc_di_spark.lake.table import LakeTable
 
 _STAGING = "_staging"
 _METRICS = "_metrics"
@@ -87,10 +84,9 @@ class CdcOrchestrator:
             "group_buckets": group_buckets,  # None = whole-table single group
         }
 
-    @staticmethod
-    def _manifest_valid(manifest: dict, geometry: dict, table_path: str) -> bool:
+    def _manifest_valid(self, manifest: dict, geometry: dict, table_path: str) -> bool:
         return manifest.get("geometry") == geometry and all(
-            os.path.exists(os.path.join(table_path, rel))
+            self.table.fs.exists(os.path.join(table_path, rel))
             for fl in manifest["files"].values()
             for rel in fl
         )
@@ -155,7 +151,7 @@ class CdcOrchestrator:
             if len(groups) > 1:
                 deduped.persist()
             staging = self._staging_dir(batch_id)
-            os.makedirs(staging, exist_ok=True)
+            self.table.fs.makedirs(staging)
 
             all_files: dict[str, list[str]] = {}
             group_metrics = []
@@ -163,9 +159,8 @@ class CdcOrchestrator:
             for gi, buckets in enumerate(groups):
                 manifest_path = os.path.join(staging, f"group-{gi:03d}.done.json")
                 geometry = self._geometry(buckets)
-                if os.path.exists(manifest_path):
-                    with open(manifest_path) as f:
-                        manifest = json.load(f)
+                if self.table.fs.exists(manifest_path):
+                    manifest = json.loads(self.table.fs.read_text(manifest_path))
                     if self._manifest_valid(manifest, geometry, self.table.path):
                         all_files.update(manifest["files"])
                         group_metrics.append({**manifest["metrics"], "resumed": True})
@@ -184,7 +179,7 @@ class CdcOrchestrator:
                 # from parquet footers — driver-side metadata, no Spark job.
                 lineage_rows = {
                     b: sum(
-                        pq.ParquetFile(os.path.join(self.table.path, rel)).metadata.num_rows
+                        self.table.fs.parquet_num_rows(os.path.join(self.table.path, rel))
                         for rel in fl
                     )
                     for b, fl in files.items()
@@ -198,7 +193,7 @@ class CdcOrchestrator:
                     "rows_written": {str(k): v for k, v in lineage_rows.items()},
                     "secs": round(time.monotonic() - g0, 3),
                 }
-                _atomic_write(
+                self.table.fs.replace_text(
                     manifest_path,
                     json.dumps({"files": files, "metrics": metrics, "geometry": geometry}),
                 )
@@ -214,7 +209,7 @@ class CdcOrchestrator:
             batch_id=batch_id,
             summary={"operation": "cdc-apply", "events": n_events},
         )
-        shutil.rmtree(staging, ignore_errors=True)
+        self.table.fs.rmtree(staging)
         elapsed = time.monotonic() - t0
         record = {
             "batch_id": batch_id,
@@ -228,8 +223,8 @@ class CdcOrchestrator:
                 round((n_events or n_deduped) / elapsed, 1) if elapsed > 0 else None
             ),
         }
-        os.makedirs(os.path.dirname(self._metrics_path(batch_id)), exist_ok=True)
-        _atomic_write(self._metrics_path(batch_id), json.dumps(record))
+        self.table.fs.makedirs(os.path.dirname(self._metrics_path(batch_id)))
+        self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
         return record
 
     def _apply_single_group(self, events, deduped, batch_id, n_events, t0) -> dict:
@@ -237,13 +232,12 @@ class CdcOrchestrator:
         Same checkpoint manifest + atomic commit as the grouped path; the
         resume granularity is the whole batch."""
         staging = self._staging_dir(batch_id)
-        os.makedirs(staging, exist_ok=True)
+        self.table.fs.makedirs(staging)
         manifest_path = os.path.join(staging, "group-000.done.json")
         geometry = self._geometry(None)
         resumed = False
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                manifest = json.load(f)
+        if self.table.fs.exists(manifest_path):
+            manifest = json.loads(self.table.fs.read_text(manifest_path))
             if self._manifest_valid(manifest, geometry, self.table.path):
                 files = manifest["files"]
                 metrics = {**manifest["metrics"], "resumed": True}
@@ -258,7 +252,7 @@ class CdcOrchestrator:
             files = self.table.write_data_files(self.table.with_bucket(merged), tag)
             lineage_rows = {
                 b: sum(
-                    pq.ParquetFile(os.path.join(self.table.path, rel)).metadata.num_rows
+                    self.table.fs.parquet_num_rows(os.path.join(self.table.path, rel))
                     for rel in fl
                 )
                 for b, fl in files.items()
@@ -270,7 +264,7 @@ class CdcOrchestrator:
                 "rows_written": lineage_rows,
                 "secs": round(time.monotonic() - g0, 3),
             }
-            _atomic_write(
+            self.table.fs.replace_text(
                 manifest_path,
                 json.dumps({"files": files, "metrics": metrics, "geometry": geometry}),
             )
@@ -285,7 +279,7 @@ class CdcOrchestrator:
             batch_id=batch_id,
             summary={"operation": "cdc-apply", "events": n_events},
         )
-        shutil.rmtree(staging, ignore_errors=True)
+        self.table.fs.rmtree(staging)
         elapsed = time.monotonic() - t0
         record = {
             "batch_id": batch_id,
@@ -297,8 +291,8 @@ class CdcOrchestrator:
             "secs": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed, 1) if n_events and elapsed > 0 else None,
         }
-        os.makedirs(os.path.dirname(self._metrics_path(batch_id)), exist_ok=True)
-        _atomic_write(self._metrics_path(batch_id), json.dumps(record))
+        self.table.fs.makedirs(os.path.dirname(self._metrics_path(batch_id)))
+        self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
         return record
 
     def _compact_one_delta(self, events: DataFrame, orig_batch_id: int) -> dict:

@@ -77,20 +77,19 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     # Optimistic guard mirroring commit/_flip_version: if another writer
     # committed between the refresh above and now, abort rather than delete
     # files a newer snapshot references.
-    current = table._read_current_snapshot(table.path)
+    current = table._read_current_snapshot(table.path, table.fs)
     if current.snapshot_id != table.snapshot.snapshot_id:
         return {"removed_files": 0, "removed_snapshots": 0, "aborted": "concurrent-commit"}
 
     data_root = os.path.join(table.path, "data")
     removed_files = 0
-    for dirpath, _dirnames, filenames in os.walk(data_root):
-        for fn in filenames:
-            if not fn.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(os.path.join(dirpath, fn), table.path)
-            if rel not in live:
-                os.remove(os.path.join(dirpath, fn))
-                removed_files += 1
+    for fpath in table.fs.walk_files(data_root):
+        if not fpath.endswith(".parquet"):
+            continue
+        rel = os.path.relpath(fpath, table.path)
+        if rel not in live:
+            table.fs.remove(fpath)
+            removed_files += 1
 
     removed_snaps = 0
     meta = os.path.join(table.path, "_meta")
@@ -98,7 +97,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
         sid = h["snapshot_id"]
         if sid not in keep_ids:
             p = os.path.join(meta, LakeTable._snap_name(sid))
-            if os.path.exists(p):
-                os.remove(p)
+            if table.fs.exists(p):
+                table.fs.remove(p)
                 removed_snaps += 1
     return {"removed_files": removed_files, "removed_snapshots": removed_snaps}

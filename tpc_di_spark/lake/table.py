@@ -7,10 +7,12 @@ built from first principles with the same guarantees):
 - **Snapshot log**: every commit writes an immutable JSON snapshot listing
   the live data files per bucket; the table's current state is whatever
   snapshot the ``VERSION`` pointer names. Readers never see partial writes.
-- **Atomic commits**: ``VERSION`` is replaced via POSIX ``os.rename`` (atomic
-  on a single filesystem); an optimistic parent check rejects concurrent
-  writers. Data files are written *before* the snapshot, so a crash at any
-  point leaves only unreferenced orphans, never a corrupt table.
+- **Atomic commits**: ``VERSION`` is replaced through the metadata
+  filesystem seam (``lake.fs.TableFS.replace_text`` — POSIX/HDFS rename
+  locally, conditional PUT on S3/GCS, see fs.py); an optimistic parent
+  check rejects concurrent writers. Data files are written *before* the
+  snapshot, so a crash at any point leaves only unreferenced orphans,
+  never a corrupt table.
 - **Copy-on-write MERGE**: an upsert rewrites only the buckets its source
   keys hash into; untouched buckets carry their old files forward by
   reference. At 10^10 rows a batch touching 1% of conversations rewrites
@@ -41,7 +43,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 from dataclasses import dataclass, field
 from typing import Iterable, Sequence
@@ -49,6 +50,8 @@ from typing import Iterable, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+from tpc_di_spark.lake.fs import LocalFS, TableFS
 
 _META = "_meta"
 _DATA = "data"
@@ -106,13 +109,9 @@ class Snapshot:
         )
 
 
-def _atomic_write(path: str, text: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
+# Backwards-compatible helper: atomic metadata replace on the local FS.
+def _atomic_write(path: str, text: str, fs: TableFS | None = None) -> None:
+    (fs or LocalFS()).replace_text(path, text)
 
 
 class LakeTable:
@@ -120,10 +119,17 @@ class LakeTable:
 
     BUCKET_COL = "_bucket"
 
-    def __init__(self, spark: SparkSession, path: str, snapshot: Snapshot):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        snapshot: Snapshot,
+        fs: TableFS | None = None,
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.snapshot = snapshot
+        self.fs = fs or LocalFS()
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -136,13 +142,15 @@ class LakeTable:
         key_cols: Sequence[str] = ("conv_id", "turn_idx"),
         bucket_cols: Sequence[str] | None = None,
         properties: dict | None = None,
+        fs: TableFS | None = None,
     ) -> "LakeTable":
+        fs = fs or LocalFS()
         path = os.path.abspath(path)
         meta = os.path.join(path, _META)
-        if os.path.exists(os.path.join(meta, _VERSION)):
+        if fs.exists(os.path.join(meta, _VERSION)):
             raise FileExistsError(f"table already exists at {path}")
-        os.makedirs(meta, exist_ok=True)
-        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+        fs.makedirs(meta)
+        fs.makedirs(os.path.join(path, _DATA))
         snap = Snapshot(
             snapshot_id=0,
             parent_id=None,
@@ -156,19 +164,22 @@ class LakeTable:
             properties=properties or {},
         )
         snap_name = cls._snap_name(0)
-        _atomic_write(os.path.join(meta, snap_name), json.dumps(snap.to_json()))
-        _atomic_write(os.path.join(meta, _VERSION), snap_name)
-        return cls(spark, path, snap)
+        fs.write_text(os.path.join(meta, snap_name), json.dumps(snap.to_json()))
+        fs.replace_text(os.path.join(meta, _VERSION), snap_name)
+        return cls(spark, path, snap, fs=fs)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+    def load(cls, spark: SparkSession, path: str, fs: TableFS | None = None) -> "LakeTable":
+        fs = fs or LocalFS()
         path = os.path.abspath(path)
-        snap = cls._read_current_snapshot(path)
-        return cls(spark, path, snap)
+        snap = cls._read_current_snapshot(path, fs)
+        return cls(spark, path, snap, fs=fs)
 
     @classmethod
-    def exists(cls, path: str) -> bool:
-        return os.path.exists(os.path.join(os.path.abspath(path), _META, _VERSION))
+    def exists(cls, path: str, fs: TableFS | None = None) -> bool:
+        return (fs or LocalFS()).exists(
+            os.path.join(os.path.abspath(path), _META, _VERSION)
+        )
 
     # ------------------------------------------------------------- metadata
     @staticmethod
@@ -176,15 +187,14 @@ class LakeTable:
         return f"snap-{snapshot_id:08d}.json"
 
     @classmethod
-    def _read_current_snapshot(cls, path: str) -> Snapshot:
+    def _read_current_snapshot(cls, path: str, fs: TableFS | None = None) -> Snapshot:
+        fs = fs or LocalFS()
         meta = os.path.join(path, _META)
-        with open(os.path.join(meta, _VERSION)) as f:
-            snap_name = f.read().strip()
-        with open(os.path.join(meta, snap_name)) as f:
-            return Snapshot.from_json(json.load(f))
+        snap_name = fs.read_text(os.path.join(meta, _VERSION)).strip()
+        return Snapshot.from_json(json.loads(fs.read_text(os.path.join(meta, snap_name))))
 
     def refresh(self) -> "LakeTable":
-        self.snapshot = self._read_current_snapshot(self.path)
+        self.snapshot = self._read_current_snapshot(self.path, self.fs)
         return self
 
     @property
@@ -203,8 +213,13 @@ class LakeTable:
         return batch_id in self.snapshot.committed_batches
 
     def read_snapshot(self, snapshot_id: int) -> Snapshot:
-        with open(os.path.join(self.path, _META, self._snap_name(snapshot_id))) as f:
-            return Snapshot.from_json(json.load(f))
+        return Snapshot.from_json(
+            json.loads(
+                self.fs.read_text(
+                    os.path.join(self.path, _META, self._snap_name(snapshot_id))
+                )
+            )
+        )
 
     def history(self) -> list[dict]:
         """Lineage of the current snapshot, oldest first. Stops at the
@@ -214,7 +229,7 @@ class LakeTable:
         while sid is not None:
             try:
                 s = self.read_snapshot(sid)
-            except FileNotFoundError:
+            except (FileNotFoundError, OSError):
                 break
             out.append({"snapshot_id": s.snapshot_id, "summary": s.summary})
             sid = s.parent_id
@@ -263,8 +278,8 @@ class LakeTable:
         same directory instead of leaking a new one.
         """
         out_dir = os.path.join(self.path, _DATA, commit_tag)
-        if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)  # partial output from a killed attempt
+        if self.fs.exists(out_dir):
+            self.fs.rmtree(out_dir)  # partial output from a killed attempt
         (
             # Cluster rows by bucket before the partitioned write: without
             # this, every shuffle partition emits a file into every bucket
@@ -281,14 +296,14 @@ class LakeTable:
 
     def _list_bucket_files(self, out_dir: str) -> dict[str, list[str]]:
         files: dict[str, list[str]] = {}
-        for entry in sorted(os.listdir(out_dir)):
+        for entry in self.fs.listdir(out_dir):
             if not entry.startswith(f"{self.BUCKET_COL}="):
                 continue
             bucket = entry.split("=", 1)[1]
             bdir = os.path.join(out_dir, entry)
             rels = [
                 os.path.relpath(os.path.join(bdir, f), self.path)
-                for f in sorted(os.listdir(bdir))
+                for f in self.fs.listdir(bdir)
                 if f.endswith(".parquet")
             ]
             if rels:
@@ -386,14 +401,15 @@ class LakeTable:
 
     def _flip_version(self, snap: Snapshot, expected_parent: int) -> None:
         meta = os.path.join(self.path, _META)
-        current = self._read_current_snapshot(self.path)
+        current = self._read_current_snapshot(self.path, self.fs)
         if current.snapshot_id != expected_parent:
             raise CommitConflict(
                 f"expected parent snapshot {expected_parent}, found {current.snapshot_id}"
             )
         snap_name = self._snap_name(snap.snapshot_id)
-        _atomic_write(os.path.join(meta, snap_name), json.dumps(snap.to_json()))
-        # The point of atomicity: a crash before this rename leaves the old
+        self.fs.write_text(os.path.join(meta, snap_name), json.dumps(snap.to_json()))
+        # The point of atomicity: a crash before this replace leaves the old
         # snapshot live and the new one orphaned; after it, the new one is
-        # fully live. There is no intermediate state.
-        _atomic_write(os.path.join(meta, _VERSION), snap_name)
+        # fully live. There is no intermediate state. (Rename locally/HDFS;
+        # conditional PUT on S3/GCS — see lake/fs.py.)
+        self.fs.replace_text(os.path.join(meta, _VERSION), snap_name)
