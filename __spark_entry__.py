@@ -1428,6 +1428,63 @@ JOIN sig sb ON sb.doc = c.doc_b
 Q31_SQL = _q31_sql()
 
 # ---------------------------------------------------------------------------
+# Q40 — DImessages alert side-output (`Historical/test.py:249-267`): one
+# queryable message row per invalid-domain value, with the reference's
+# key=value payload shape.
+# ---------------------------------------------------------------------------
+
+def q40_dimessages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.functions.cleaning import domain_validate
+    from tpc_di_spark.plans.messages import alert_messages
+    from tpc_di_spark.plans.reference_pipelines import VALID_SP_RATINGS
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = c.select(
+        k.alias("co_id"),
+        F.element_at(
+            F.array(F.lit("AAA"), F.lit("BBB+"), F.lit("ZZZ"), F.lit("B-"), F.lit("JUNK"), F.lit(None)),
+            (k % 6 + 1).cast("int"),
+        ).alias("sp_rate"),
+        F.timestamp_seconds(F.lit(1704067200) + k).alias("pts"),
+    )
+    invalid = (
+        domain_validate(F.col("sp_rate"), VALID_SP_RATINGS).isNull()
+        & F.col("sp_rate").isNotNull()
+    )
+    return alert_messages(
+        raw, invalid,
+        source="DimCompany", message_text="Invalid SPRating",
+        data_cols=["co_id", "sp_rate"], ts_col="pts", batch_id=1,
+    )
+
+
+def _q40_sql() -> str:
+    from tpc_di_spark.plans.reference_pipelines import VALID_SP_RATINGS
+
+    valid = ", ".join(f"'{r}'" for r in VALID_SP_RATINGS)
+    return f"""
+WITH raw AS (
+  SELECT c_custkey AS co_id,
+         CASE CAST(c_custkey % 6 AS INT) WHEN 0 THEN 'AAA' WHEN 1 THEN 'BBB+'
+              WHEN 2 THEN 'ZZZ' WHEN 3 THEN 'B-' WHEN 4 THEN 'JUNK' END AS sp_rate,
+         make_timestamp((1704067200 + c_custkey) * 1000000) AS pts
+  FROM customer)
+SELECT pts AS message_ts,
+       1 AS batch_id,
+       'DimCompany' AS message_source,
+       'Alert' AS message_type,
+       'Invalid SPRating' AS message_text,
+       'co_id = ' || CAST(co_id AS VARCHAR) || ', sp_rate = ' || coalesce(sp_rate, 'NULL') AS message_data
+FROM raw
+WHERE sp_rate IS NOT NULL AND sp_rate NOT IN ({valid})
+"""
+
+
+Q40_SQL = _q40_sql()
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1471,6 +1528,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_dim_broker": q37_dim_broker,
     "q38_fact_holdings": q38_fact_holdings,
     "q39_fact_market_history": q39_fact_market_history,
+    "q40_dimessages": q40_dimessages,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1516,6 +1574,7 @@ _ORACLES: dict[str, str] = {
     "q37_dim_broker": Q37_SQL,
     "q38_fact_holdings": Q38_SQL,
     "q39_fact_market_history": Q39_SQL,
+    "q40_dimessages": Q40_SQL,
 }
 
 

@@ -344,3 +344,42 @@ def test_fact_market_history_composition(spark):
     assert z["yield"] is None, "zero dividend -> NULL yield (ref `if dividend:`)"
     first = out[("S", "2024-01-01")]
     assert first.fiftytwoweekhigh == 99.0, "window includes the current row"
+
+
+def test_dimessages_log_and_orchestrator_status(spark, tmp_path):
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.plans.messages import MessagesLog, alert_messages
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    log = MessagesLog(spark, str(tmp_path / "messages"))
+    table = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(table, buckets_per_group=4, messages_log=log)
+    ev = spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "hi", dt.datetime(2024, 1, 1)),
+         ("I", 2, "c2", 0, "user", "yo", dt.datetime(2024, 1, 2))],
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+    orch.apply_batch(ev, 1)
+    # Alert rows from a validation pass land in the same queryable table.
+    ratings = spark.createDataFrame(
+        [(7, "AAA", dt.datetime(2024, 1, 1)), (8, "ZZZ", dt.datetime(2024, 1, 2))],
+        "co_id long, sp_rate string, pts timestamp",
+    )
+    log.append(alert_messages(
+        ratings, F.col("sp_rate") == "ZZZ",
+        source="DimCompany", message_text="Invalid SPRating",
+        data_cols=["co_id", "sp_rate"], ts_col="pts",
+    ))
+    msgs = log.read().collect()
+    status = [m for m in msgs if m.message_type == "Status"]
+    alerts = [m for m in msgs if m.message_type == "Alert"]
+    assert len(status) == 1 and status[0].batch_id == 1
+    assert "events = 2" in status[0].message_data and "snapshot = 1" in status[0].message_data
+    assert len(alerts) == 1
+    assert alerts[0].message_data == "co_id = 8, sp_rate = ZZZ", (
+        "key=value payload shape of Historical/test.py:254"
+    )
+    # Idempotent re-apply emits no duplicate status row.
+    orch.apply_batch(ev, 1)
+    assert log.read().filter("message_type = 'Status'").count() == 1

@@ -56,6 +56,7 @@ class CdcOrchestrator:
         table: LakeTable,
         buckets_per_group: int = 8,
         count_input: bool = True,
+        messages_log=None,
     ):
         self.table = table
         self.spark = table.spark
@@ -64,6 +65,11 @@ class CdcOrchestrator:
         # extra pass over the source); metrics then report the post-LWW
         # count as events_in=None. Used by throughput benches.
         self.count_input = count_input
+        # Optional plans.messages.MessagesLog: one queryable DImessages
+        # status row per applied batch (the reference's "Status: Inserted
+        # rows" insert, `Historical/prospect.py:158-163`). Opt-in — the
+        # metrics JSON remains the zero-extra-job default.
+        self.messages_log = messages_log
 
     # ------------------------------------------------------------ utilities
     def _staging_dir(self, batch_id: int) -> str:
@@ -225,6 +231,7 @@ class CdcOrchestrator:
         }
         self.table.fs.makedirs(os.path.dirname(self._metrics_path(batch_id)))
         self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
+        self._emit_status(record)
         return record
 
     def _apply_single_group(self, events, deduped, batch_id, n_events, t0) -> dict:
@@ -293,7 +300,27 @@ class CdcOrchestrator:
         }
         self.table.fs.makedirs(os.path.dirname(self._metrics_path(batch_id)))
         self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
+        self._emit_status(record)
         return record
+
+    def _emit_status(self, record: dict) -> None:
+        if self.messages_log is None:
+            return
+        from tpc_di_spark.plans.messages import status_messages
+
+        self.messages_log.append(
+            status_messages(
+                self.spark,
+                source="CdcOrchestrator",
+                text="Status: Applied batch",
+                data=(
+                    f"events = {record['events_in']}, "
+                    f"buckets = {record['buckets_touched']}, "
+                    f"snapshot = {record['snapshot_id']}"
+                ),
+                batch_id=record["batch_id"],
+            )
+        )
 
     def _compact_one_delta(self, events: DataFrame, orig_batch_id: int) -> dict:
         """Replay one pending MoR delta batch through the CoW merge and,
