@@ -274,3 +274,41 @@ def test_resume_across_geometry_change(spark, tmp_path):
         current_state(t_ref).toPandas(),
         ["conv_id", "turn_idx"],
     )
+
+
+def test_cross_batch_ordering_is_batch_id_first(spark, tmp_path):
+    """Locks the documented cross-batch semantics (CDC_DSN-monotone model,
+    matching the reference's strictly sequential Batch2->Batch3 stream):
+    a later BATCH wins even when its event carries an OLDER timestamp —
+    ts/dsn order applies only WITHIN a batch's LWW fold."""
+    from tpc_di_spark.cdc.mor import apply_batch_mor, current_state_mor
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, "
+            "role string, text string, ts timestamp",
+        )
+
+    t1 = dt.datetime(2024, 1, 10)
+    t0 = dt.datetime(2024, 1, 5)  # OLDER than the batch-1 version
+    for mode in ("cow", "mor"):
+        table = bootstrap_table(
+            spark, str(tmp_path / mode), TRANSCRIPT_SCHEMA, num_buckets=4
+        )
+        orch = CdcOrchestrator(table, buckets_per_group=4)
+        b1 = mk([("I", 1, "c1", 0, "user", "from-batch-1", t1)])
+        b2 = mk([("U", 2, "c1", 0, "user", "from-batch-2-older-ts", t0)])
+        if mode == "cow":
+            orch.apply_batch(b1, 1)
+            orch.apply_batch(b2, 2)
+            state = current_state(table)
+        else:
+            apply_batch_mor(orch, b1, 1)
+            apply_batch_mor(orch, b2, 2)
+            state = current_state_mor(table)
+        row = state.filter("conv_id = 'c1'").collect()[0]
+        assert row.text == "from-batch-2-older-ts", (
+            f"{mode}: batch-id-first ordering — the later batch's change "
+            "applies even with an older event timestamp"
+        )

@@ -383,3 +383,39 @@ def test_dimessages_log_and_orchestrator_status(spark, tmp_path):
     # Idempotent re-apply emits no duplicate status row.
     orch.apply_batch(ev, 1)
     assert log.read().filter("message_type = 'Status'").count() == 1
+
+
+def test_sk_cascade_repoint_multi_fact(spark):
+    from tpc_di_spark.plans.reference_pipelines import sk_cascade_repoint
+
+    remap = spark.createDataFrame(
+        [(100, 200, "INACTIVE")], "old_sk long, new_sk long, status string"
+    )
+    dim_account = spark.createDataFrame(
+        [(1, 100, "ACTIVE"), (2, 101, "ACTIVE")],
+        "account_id long, sk_customerid long, status string",
+    )
+    fact_watches = spark.createDataFrame(
+        [(100, "AAA"), (101, "BBB")], "sk_customerid long, symbol string"
+    )
+    dim_trade = spark.createDataFrame(
+        [("T1", 100), ("T2", 102)], "t_id string, sk_customerid long"
+    )
+    out = sk_cascade_repoint(
+        remap,
+        {
+            "dim_account": {"df": dim_account, "sk_col": "sk_customerid",
+                            "set": {"status": "status"}},
+            "fact_watches": {"df": fact_watches, "sk_col": "sk_customerid"},
+            "dim_trade": {"df": dim_trade, "sk_col": "sk_customerid"},
+        },
+    )
+    acc = {r.account_id: r for r in out["dim_account"].collect()}
+    assert acc[1].sk_customerid == 200 and acc[1].status == "INACTIVE", (
+        "matched account re-pointed AND status set (IncrementalCustomer.py:705-709)"
+    )
+    assert acc[2].sk_customerid == 101 and acc[2].status == "ACTIVE", "unmatched untouched"
+    fw = {r.symbol: r.sk_customerid for r in out["fact_watches"].collect()}
+    assert fw == {"AAA": 200, "BBB": 101}
+    tr = {r.t_id: r.sk_customerid for r in out["dim_trade"].collect()}
+    assert tr == {"T1": 200, "T2": 102}

@@ -567,3 +567,49 @@ def build_fact_market_history(
         (F.col("_eps_sum").isNull() | (F.col("_eps_sum") == 0)).alias("alert_no_earnings"),
         yld.alias("yield"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-fact surrogate-key cascade — SURVEY M2
+# (`Incremental1/IncrementalCustomer.py:699-807`).
+# ---------------------------------------------------------------------------
+
+def sk_cascade_repoint(
+    remap: DataFrame,
+    facts: dict[str, dict],
+) -> dict[str, DataFrame]:
+    """When an SCD2 dimension update mints a new surrogate key, re-point
+    every dependent table. The reference issues one UPDATE per changed
+    customer per table (three server round trips per row,
+    `IncrementalCustomer.py:705-760`); here each table gets ONE broadcast
+    join against the remap — the remap is dimension-delta-sized, so no
+    fact-side shuffle and the cascade cost is O(sum of fact scans).
+
+    ``remap`` columns: ``old_sk``, ``new_sk``, plus any carried columns
+    referenced by per-table ``set`` entries (e.g. the reference also sets
+    DimAccount.status from the new customer row, `:705-709`).
+
+    ``facts``: {table_name: {"df": DataFrame, "sk_col": str,
+    "set": {fact_col: remap_col, ...}  # optional extra assignments}}
+
+    Returns {table_name: re-pointed DataFrame}. Unmatched rows pass
+    through untouched. Each output commits through its own table's
+    transaction (single-table transactions, like Iceberg's — the
+    reference has no cross-table atomicity either: each UPDATE
+    autocommits)."""
+    out: dict[str, DataFrame] = {}
+    for name, spec in facts.items():
+        df, sk_col = spec["df"], spec["sk_col"]
+        set_cols: dict[str, str] = spec.get("set", {})
+        carry = ["old_sk", "new_sk", *{v for v in set_cols.values()}]
+        r = remap.select(*[F.col(c).alias(f"_r_{c}") for c in carry])
+        j = df.join(F.broadcast(r), df[sk_col] == F.col("_r_old_sk"), "left")
+        res = j.withColumn(sk_col, F.coalesce(F.col("_r_new_sk"), F.col(sk_col)))
+        for fact_col, remap_col in set_cols.items():
+            res = res.withColumn(
+                fact_col,
+                F.when(F.col("_r_old_sk").isNotNull(), F.col(f"_r_{remap_col}"))
+                .otherwise(F.col(fact_col)),
+            )
+        out[name] = res.drop(*[f"_r_{c}" for c in carry])
+    return out
