@@ -191,3 +191,134 @@ def test_streaming_foreachbatch_cdc(spark, tmp_path):
     assert current_state(t2).count() == 1
     assert current_state(t2).collect()[0].text == "hello-edited"
     assert pending_delta_batches(t2.refresh()) == []
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """session_window (streaming twin) and operators/windows.sessionize
+    (batch form) must agree on session boundaries and sizes."""
+    import datetime as dt
+
+    from tpc_di_spark.operators.windows import sessionize
+    from tpc_di_spark.streaming.windowed import session_window_counts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "c1", t0),
+        (2, "c1", t0 + dt.timedelta(minutes=10)),
+        (3, "c1", t0 + dt.timedelta(minutes=50)),  # 40min gap -> new session
+        (4, "c2", t0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, conv_id string, ts timestamp")
+    sw = session_window_counts(df, key_cols=["conv_id"], gap="30 minutes").collect()
+    got = {(r.conv_id, str(r.first_ts)): r.n_events for r in sw}
+    batch = sessionize(df, ["conv_id"], "ts", "event_id")
+    import pyspark.sql.functions as F
+
+    b = {
+        (r.conv_id, str(r.first_ts)): r.n
+        for r in batch.groupBy("conv_id", "session_idx")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("first_ts"))
+        .collect()
+    }
+    assert got == b == {
+        ("c1", "2024-01-01 12:00:00"): 2,
+        ("c1", "2024-01-01 12:50:00"): 1,
+        ("c2", "2024-01-01 12:00:00"): 1,
+    }
+
+
+def test_windowed_counts_with_watermark_drops_late_events(spark, tmp_path):
+    """End-to-end through a real file-tail stream with a persistent
+    checkpoint, two runs: run 1 advances the watermark to 02:50; run 2
+    delivers a 00:07 event (late, dropped) and a 03:10 event (on time).
+    Update mode makes the distinction observable: run 2 must emit ONLY
+    the hour-3 window update — a surviving late event would also emit an
+    hour-0 update."""
+    import datetime as dt
+
+    from tpc_di_spark.streaming.windowed import windowed_event_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run(name):
+        events = (
+            spark.readStream.schema("conv_id string, ts timestamp").parquet(str(src / "*"))
+        )
+        out = windowed_event_counts(
+            events, key_cols=["conv_id"], window_duration="1 hour", watermark="10 minutes"
+        )
+        emitted: list = []
+
+        def sink(batch_df, epoch_id):
+            emitted.extend(batch_df.collect())
+
+        # foreachBatch (not the memory sink) because only it supports
+        # checkpoint recovery — the watermark must survive across runs.
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {str(r.window_start): r.n_events for r in emitted}
+
+    spark.createDataFrame(
+        [("c1", t0 + dt.timedelta(minutes=5)), ("c1", t0 + dt.timedelta(minutes=20)),
+         ("c1", t0 + dt.timedelta(hours=3))],  # advances watermark to 02:50
+        "conv_id string, ts timestamp",
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    r1 = run("win_run1")
+    assert r1 == {"2024-01-01 00:00:00": 2, "2024-01-01 03:00:00": 1}
+
+    spark.createDataFrame(
+        [("c1", t0 + dt.timedelta(minutes=7)),     # LATE: < 02:50 watermark
+         ("c1", t0 + dt.timedelta(hours=3, minutes=10))],
+        "conv_id string, ts timestamp",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    r2 = run("win_run2")
+    assert r2 == {"2024-01-01 03:00:00": 2}, (
+        f"late 00:07 event must be dropped, not update the closed window: {r2}"
+    )
+
+
+def test_running_conversation_state_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-conversation
+    state accumulates across micro-batches (2 files -> 2 batches)."""
+    import datetime as dt
+
+    from tpc_di_spark.streaming.windowed import running_conversation_state
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("c1", "user", t0), ("c1", "assistant", t0 + dt.timedelta(minutes=1)), ("c2", "user", t0)],
+        "conv_id string, role string, ts timestamp",
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("c1", "tool", t0 + dt.timedelta(minutes=2))],
+        "conv_id string, role string, ts timestamp",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    events = (
+        spark.readStream.schema("conv_id string, role string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        running_conversation_state(events)
+        .writeStream.format("memory").queryName("conv_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends every emitted row; take the LAST per key.
+    rows = spark.sql("SELECT * FROM conv_state").collect()
+    latest = {}
+    for r in rows:
+        if r.conv_id not in latest or r.n_turns > latest[r.conv_id].n_turns:
+            latest[r.conv_id] = r
+    assert latest["c1"].n_turns == 3 and latest["c1"].last_role == "tool"
+    assert latest["c2"].n_turns == 1 and latest["c2"].last_role == "user"
