@@ -83,3 +83,27 @@ def test_expire_snapshots_on_stale_handle_keeps_current_data(spark, tmp_path):
     expire_snapshots(stale, keep_last=1)
     # The actual current snapshot must still be fully readable.
     assert t.refresh().read().count() == 40
+
+
+def test_rebucket_changes_layout_atomically(spark, tmp_path):
+    from tpc_di_spark.lake.maintenance import rebucket
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+    t.append(mkrows(spark, 80, text="gen0"))
+    before = t.read().orderBy("conv_id", "turn_idx").toPandas()
+    old_snap = t.snapshot.snapshot_id
+
+    stats = rebucket(t, 16)
+    assert stats["rebucketed"] and t.num_buckets == 16
+    after = t.read().orderBy("conv_id", "turn_idx").toPandas()
+    assert_pdf_equal(before, after, ["conv_id", "turn_idx"])
+    # New assignment is the N'=16 hash; bucket pruning works post-rebucket.
+    some = t.read(buckets=range(8)).count()
+    rest = t.read(buckets=range(8, 16)).count()
+    assert some + rest == 80 and some > 0 and rest > 0
+    # Time travel to the pre-rebucket snapshot still reads the old layout.
+    old = t.read(snapshot=t.read_snapshot(old_snap)).count()
+    assert old == 80
+    # Writes after rebucket use the new bucket count.
+    t.append(mkrows(spark, 20, text="gen1"))
+    assert t.read().count() == 100

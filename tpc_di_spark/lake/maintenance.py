@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import time
 
+import pyspark.sql.functions as F
+
 from tpc_di_spark.lake.table import LakeTable, _atomic_write
 
 
@@ -101,3 +103,50 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
                 table.fs.remove(p)
                 removed_snaps += 1
     return {"removed_files": removed_files, "removed_snapshots": removed_snaps}
+
+
+def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
+    """Change the table's bucket count in ONE atomic commit — the scale
+    operation Iceberg calls partition-spec evolution. A bucket count
+    chosen at table creation cannot serve forever: at 10^10 rows a
+    64-bucket table has ~25 GB buckets (no parallelism within a merge
+    group); re-bucketing to 4096 restores balanced, prunable units.
+
+    Rewrites every live row under the new ``pmod(xxhash64(key), N')``
+    assignment and commits data + the new bucket count together; readers
+    on the old snapshot keep the old layout (time travel intact), a crash
+    before the flip leaves only orphan files. O(table) — schedule it like
+    compaction, not per batch."""
+    snap = table.snapshot
+    if new_num_buckets == snap.num_buckets:
+        return {"rebucketed": False, "num_buckets": snap.num_buckets}
+    df = table.read()
+    new_bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in snap.bucket_cols]), F.lit(new_num_buckets)
+    ).cast("int")
+    tag = f"rebucket-{snap.snapshot_id:08d}-to-{new_num_buckets}"
+    # Temporarily present the new bucket count to the writer so the
+    # clustering exchange targets N' partitions.
+    df_b = df.withColumn(LakeTable.BUCKET_COL, new_bucket)
+    out_dir = os.path.join(table.path, "data", tag)
+    if table.fs.exists(out_dir):
+        table.fs.rmtree(out_dir)
+    (
+        df_b.repartition(new_num_buckets, F.col(LakeTable.BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(LakeTable.BUCKET_COL)
+        .parquet(out_dir)
+    )
+    new_files = table._list_bucket_files(out_dir)
+    table.commit(
+        new_files_by_bucket=new_files,
+        mode="replace",
+        replaced_buckets=set(snap.files) | set(new_files),
+        summary={"operation": "rebucket", "from": snap.num_buckets, "to": new_num_buckets},
+        new_num_buckets=new_num_buckets,
+    )
+    return {
+        "rebucketed": True,
+        "num_buckets": new_num_buckets,
+        "files": sum(len(v) for v in new_files.values()),
+    }

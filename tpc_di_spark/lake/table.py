@@ -330,6 +330,7 @@ class LakeTable:
         new_schema: StructType | None = None,
         summary: dict | None = None,
         new_properties: dict | None = None,
+        new_num_buckets: int | None = None,
     ) -> Snapshot:
         """Produce the next snapshot and atomically flip VERSION to it.
 
@@ -362,7 +363,7 @@ class LakeTable:
             snapshot_id=parent.snapshot_id + 1,
             parent_id=parent.snapshot_id,
             schema_json=(new_schema or parent.schema).jsonValue(),
-            num_buckets=parent.num_buckets,
+            num_buckets=new_num_buckets or parent.num_buckets,
             key_cols=parent.key_cols,
             bucket_cols=parent.bucket_cols,
             files=files,

@@ -54,8 +54,14 @@ def get_spark(
         # CPU. Compression CPU scales with cores; disk/NIC bandwidth is a
         # shared resource — shifting bytes to CPU is what makes the CoW
         # merge scale (measured on this box: N=2 ~ -3%, 4N=8 ~ +18%,
-        # N->4N efficiency 0.64 -> 0.79 in the same window).
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # N->4N efficiency 0.64 -> 0.79 in the same window). The trade
+        # inverts where CPU is the bottleneck (this box at 32 threads is
+        # memory-bus bound: snappy ~1.8x faster there) — override via
+        # $SPARK_GRAFT_PARQUET_CODEC for CPU-rich/storage-rich clusters.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
