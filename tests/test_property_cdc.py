@@ -75,3 +75,73 @@ def test_any_event_sequence_matches_oracle(spark, tmp_path_factory, counter, eve
     got = current_state(table).toPandas()
     want = oracle.current_df()
     assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
+
+
+def test_operators_deterministic_across_partitioning(spark):
+    """Scale invariant: hash-family operators (MinHash, SimHash,
+    hyperplane buckets, salted agg) must produce identical results
+    whatever the input partitioning — the local analogue of running on a
+    different cluster size."""
+    import pyspark.sql.functions as F
+
+    from tpc_di_spark.operators.dedup import minhash_signatures, simhash64
+    from tpc_di_spark.operators.salting import salted_agg
+    from tpc_di_spark.operators.similarity import hyperplane_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i % 7} tail{i % 3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for parts in (1, 13):
+        d = docs.repartition(parts)
+        e = emb.repartition(parts)
+        mh = rows(minhash_signatures(d, "doc_id", "text", n=2, num_hashes=8)
+                  .select("doc", F.col("signature").cast("string")))
+        sh = rows(simhash64(d, "doc_id", "text"))
+        hb = rows(hyperplane_buckets(e, "vec_id", "embedding", bits=4, dim=8)
+                  .select("vec_id", "bucket"))
+        sa = rows(salted_agg(
+            d.withColumn("v", F.col("doc_id").cast("decimal(12,2)")),
+            ["text"], {"n": ("count", "*"), "s": ("sum", "v")},
+            salt_from=["doc_id"], buckets=4,
+        ).select("text", "n", F.col("s").cast("double")))
+        if parts == 1:
+            base = (mh, sh, hb, sa)
+        else:
+            assert (mh, sh, hb, sa) == base
+
+
+def test_engine_final_state_invariant_to_parallelism(spark, tmp_path):
+    """The replayed table state must not depend on how the change stream
+    was partitioned (1 vs 13 input partitions) — the correctness half of
+    the two-cluster-size criterion (throughput half lives in bench.py)."""
+    from tests.conftest import assert_pdf_equal
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.generator import historical_batch, incremental_batch
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    states = []
+    for parts in (1, 13):
+        t = bootstrap_table(
+            spark, str(tmp_path / f"t{parts}"), TRANSCRIPT_SCHEMA, num_buckets=8
+        )
+        orch = CdcOrchestrator(t, buckets_per_group=8)
+        orch.apply_batch(historical_batch(spark, 30, 6).repartition(parts), 1)
+        orch.apply_batch(
+            incremental_batch(spark, 2, 400, 30, 6, skew=2.0).repartition(parts), 2
+        )
+        states.append(
+            current_state(t)
+            .select("conv_id", "turn_idx", "role", "text", "ts")
+            .toPandas()
+        )
+    assert_pdf_equal(states[0], states[1], ["conv_id", "turn_idx"])
