@@ -1485,6 +1485,76 @@ Q40_SQL = _q40_sql()
 
 
 # ---------------------------------------------------------------------------
+# Q41 — IVF (inverted-file) ANN search, the second scale path next to
+# hyperplane LSH. Contract variant uses deterministic data-independent
+# centroids so assignment, probing, and ranks are bit-identical in DuckDB
+# (exact-DECIMAL distances); real deployments train centroids with
+# operators/ivf.kmeans_fit (partition-invariance + recall covered in
+# tests/test_operators.py::test_ivf_topk_and_kmeans).
+# ---------------------------------------------------------------------------
+
+_IVF_NLIST, _IVF_NPROBE, _IVF_K, _IVF_DIM = 16, 4, 5, 64
+
+
+def q41_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.ivf import ivf_topk, pseudo_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, "vec_id", "embedding",
+        pseudo_centroids(_IVF_NLIST, _IVF_DIM),
+        k=_IVF_K, nprobe=_IVF_NPROBE,
+    )
+
+
+def _q41_sql() -> str:
+    from tpc_di_spark.operators.ivf import pseudo_centroids
+
+    cents = pseudo_centroids(_IVF_NLIST, _IVF_DIM)
+    values = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in c)) for i, c in enumerate(cents)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cents(cid, c) AS (VALUES {values}),
+dists AS (
+  SELECT b.vec_id, cents.cid,
+         list_sum(list_transform(list_zip(b.v, cents.c),
+              s -> CAST((struct_extract(s, 1) - struct_extract(s, 2))
+                        * (struct_extract(s, 1) - struct_extract(s, 2)) AS DECIMAL(38,12)))) AS d
+  FROM base b CROSS JOIN cents),
+ranked_cells AS (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+  FROM dists),
+lists AS (SELECT vec_id AS neighbor_id, cid FROM ranked_cells WHERE rnk = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked_cells WHERE rnk <= {_IVF_NPROBE}),
+norms AS (
+  SELECT vec_id, v,
+         sqrt(CAST(list_sum(list_transform(v, x -> CAST(x * x AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
+  FROM base),
+pairs AS (
+  SELECT p.query_id, l.neighbor_id,
+         CAST(list_sum(list_transform(list_zip(q.v, n.v),
+              s -> CAST((struct_extract(s, 1) * struct_extract(s, 2)) AS DECIMAL(38,12)))) AS DOUBLE)
+           / (q.nrm * n.nrm) AS cosine
+  FROM probes p
+  JOIN lists l ON p.cid = l.cid AND p.query_id <> l.neighbor_id
+  JOIN norms q ON q.vec_id = p.query_id
+  JOIN norms n ON n.vec_id = l.neighbor_id),
+topk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 8) AS cosine
+FROM topk WHERE rank <= {_IVF_K}
+"""
+
+
+Q41_SQL = _q41_sql()
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1529,6 +1599,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_fact_holdings": q38_fact_holdings,
     "q39_fact_market_history": q39_fact_market_history,
     "q40_dimessages": q40_dimessages,
+    "q41_ivf_topk": q41_ivf_topk,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1575,6 +1646,7 @@ _ORACLES: dict[str, str] = {
     "q38_fact_holdings": Q38_SQL,
     "q39_fact_market_history": Q39_SQL,
     "q40_dimessages": Q40_SQL,
+    "q41_ivf_topk": Q41_SQL,
 }
 
 

@@ -62,6 +62,12 @@ BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "600"))
 SF_OVERRIDES = {
     "q22_cosine_topk": "/root/testdata/sf0.01",
     "q31_minhash_lsh_portable": "/root/testdata/sf0.01",
+    # q41's contract variant uses data-independent centroids (the price of
+    # a static SQL oracle), which degenerate to one giant cell on this
+    # corpus — candidate count ~N^2 at sf0.1. The real IVF path trains
+    # with kmeans_fit (recall-tested); the contract query exists to prove
+    # the search machinery bit-exact.
+    "q41_ivf_topk": "/root/testdata/sf0.01",
 }
 
 

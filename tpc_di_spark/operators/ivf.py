@@ -1,0 +1,172 @@
+"""IVF (inverted-file) approximate nearest neighbors.
+
+The second scale path for embedding similarity next to hyperplane LSH
+(`operators/similarity.py`): partition the corpus into ``nlist`` Voronoi
+cells around centroids, search only the ``nprobe`` cells nearest the
+query. Candidate fraction ~ nprobe/nlist with data-adaptive cells —
+higher recall per candidate than LSH when the corpus is clustered.
+
+Spark-first decomposition — every stage is a DataFrame op:
+
+- **Assignment** (`ivf_assign`): broadcast the centroid table (nlist
+  rows), exact-DECIMAL squared distance per (vector, centroid),
+  ``row_number() == 1`` per vector. Deterministic and bit-identical
+  across engines (ties break on centroid id) — the same discipline as
+  the hyperplane buckets, so the search is SQL-oracle-checkable.
+- **Search** (`ivf_topk`): queries keep their ``nprobe`` nearest cells,
+  explode, join cell-to-cell against the inverted lists (a key-
+  partitioned equi-join — never a cartesian), exact cosine + top-k.
+- **Training** (`kmeans_fit`): Lloyd iterations driven from the driver;
+  per-cluster component sums are exact DECIMAL aggregates (associative →
+  partition-invariant), the division happens once per component in
+  Python, and the next iteration's centroids ship as plan literals.
+  State per iteration is nlist x dim numbers — driver-sized at any
+  corpus scale; the heavy work (assignment + partial aggregation) stays
+  distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_DEC = "decimal(38,12)"
+
+
+def _centroid_df(spark, centroids: Sequence[Sequence[float]]) -> DataFrame:
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+
+
+def _sq_dist(v, c):
+    """Exact squared L2 distance: per-component (x-c)^2 cast to DECIMAL
+    before the fold, so comparisons (and therefore argmin assignment)
+    never depend on float summation order."""
+    d = F.zip_with(v, c, lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(_DEC))
+    return F.aggregate(d, F.lit(0).cast(_DEC), lambda acc, t: (acc + t).cast(_DEC))
+
+
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    keep_rank: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment (``keep_rank=1``) or the ``keep_rank``
+    nearest cells (the query-side nprobe expansion). Ties break on the
+    lower centroid id."""
+    spark = emb.sparkSession
+    cents = _centroid_df(spark, centroids)
+    j = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_dist", _sq_dist(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_dist"), F.col("centroid_id"))
+    return (
+        j.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= keep_rank)
+        .select(F.col(id_col), F.col(vec_col), "centroid_id", F.col("_rank").alias("probe_rank"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via inverted lists: candidates = vectors
+    whose cell is one of the query's ``nprobe`` nearest cells."""
+    from tpc_di_spark.operators.similarity import _dot, _norm
+
+    lists = ivf_assign(emb, id_col, vec_col, centroids, keep_rank=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    probes = ivf_assign(emb, id_col, vec_col, centroids, keep_rank=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
+    )
+    cands = probes.join(lists, ["centroid_id"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cands = cands.withColumn(
+        "cosine",
+        F.try_divide(
+            _dot(F.col("qv"), F.col("cv")).cast("double"),
+            _norm(F.col("qv")) * _norm(F.col("cv")),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    iters: int = 3,
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for IVF centroids.
+
+    Init: the ``nlist`` vectors with the smallest ids (deterministic; at
+    scale seed with a hash-sampled subset instead). Each iteration: one
+    distributed assignment + one exact-DECIMAL component-sum aggregation;
+    the nlist x dim division runs in Python so no engine-specific decimal
+    division semantics leak into the centroids. Empty cells keep their
+    previous centroid."""
+    init = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[1]] for r in init]
+    dim = dim or len(centroids[0])
+    for _ in range(iters):
+        assigned = ivf_assign(emb, id_col, vec_col, centroids, keep_rank=1)
+        parts = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(F.col("x").cast(_DEC)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        by_cluster: dict[int, dict[int, tuple]] = {}
+        for r in parts:
+            by_cluster.setdefault(r["centroid_id"], {})[r["pos"]] = (r["s"], r["n"])
+        for cid, comps in by_cluster.items():
+            for pos, (s, n) in comps.items():
+                new[cid][pos] = float(s) / n
+        centroids = new
+    return centroids
+
+
+def pseudo_centroids(nlist: int, dim: int, seed: str = "ivf") -> list[list[float]]:
+    """Deterministic data-independent centroids in [-1, 1]^dim (md5-derived
+    plan-time constants, same discipline as the LSH hyperplanes). Used by
+    the oracle-checked contract query; real deployments train with
+    ``kmeans_fit`` — the search machinery is identical either way."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}|{c}|{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+        for c in range(nlist)
+    ]
