@@ -1555,6 +1555,42 @@ Q41_SQL = _q41_sql()
 
 
 # ---------------------------------------------------------------------------
+# Q42 — multimodal binary-column plumbing through the Arrow mapInPandas
+# path: documents' text becomes the binary payload, extract_features runs
+# the real distributed pipeline (batched decode-shape, hashing), and the
+# oracle recomputes byte length + content hash on the same blobs in
+# DuckDB. (feat_mean — the stubbed decode output — is pytest-covered; a
+# SQL engine can't sum raw bytes, so the contract projects the
+# oracle-computable columns.)
+# ---------------------------------------------------------------------------
+
+def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.functions.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("content"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,duration_ms:int,codec:string>"
+        ).alias("meta"),
+    )
+    return extract_features(assets).select(
+        "asset_id", "modality", "n_bytes", "content_hash"
+    )
+
+
+Q42_SQL = """
+SELECT doc_id AS asset_id,
+       'image' AS modality,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS content_hash  -- md5(VARCHAR) hashes the UTF-8 bytes = the blob
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1600,6 +1636,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_fact_market_history": q39_fact_market_history,
     "q40_dimessages": q40_dimessages,
     "q41_ivf_topk": q41_ivf_topk,
+    "q42_multimodal_features": q42_multimodal_features,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1647,6 +1684,7 @@ _ORACLES: dict[str, str] = {
     "q39_fact_market_history": Q39_SQL,
     "q40_dimessages": Q40_SQL,
     "q41_ivf_topk": Q41_SQL,
+    "q42_multimodal_features": Q42_SQL,
 }
 
 
