@@ -448,7 +448,7 @@ FROM events
 # ---------------------------------------------------------------------------
 
 def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tpc_di_spark.functions.text import fingerprint64, token_count
+    from tpc_di_spark.functions.text import bpe_ish_token_count, fingerprint64, token_count
 
     d = _t(spark, sf_dir, "documents")
     norm = F.regexp_replace(
@@ -457,6 +457,7 @@ def q16_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.md5(norm).alias("fp"),
     )
 
@@ -465,6 +466,7 @@ Q16_SQL = """
 SELECT doc_id,
        CAST(CASE WHEN trim(text) = '' THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(trim(coalesce(text, '')), '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
        md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """
@@ -796,7 +798,7 @@ def q26_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q26_sql() -> str:
+def _q26_sql(k: int = _LSH_K) -> str:
     from tpc_di_spark.operators.similarity import hyperplane_components
 
     def dot(plane: list[float]) -> str:
@@ -842,11 +844,11 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 8) AS cosine
-FROM ranked WHERE rank <= {_LSH_K}
+FROM ranked WHERE rank <= {k}
 """
 
 
-Q26_SQL = _q26_sql()
+Q26_SQL = _q26_sql(_LSH_K)
 
 
 # ---------------------------------------------------------------------------
@@ -1591,6 +1593,36 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Q43 — embedding near-duplicate pairs (the embedding-space analogue of
+# MinHash dedup): LSH candidates -> exact cosine -> threshold filter.
+# Fully oracle-checked through the q26 literal-plane machinery.
+# ---------------------------------------------------------------------------
+
+# This synthetic corpus is near-random (max pairwise cosine ~0.46 at
+# sf0.01), so the "near-dup" threshold is set where pairs exist; on a
+# real corpus use ~0.95.
+_NEARDUP_THRESHOLD = 0.3
+
+
+def q43_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.similarity import embedding_cosine_neardups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_neardups(
+        e, "vec_id", "embedding",
+        threshold=_NEARDUP_THRESHOLD,
+        bits=_LSH_BITS, tables=_LSH_TABLES, dim=_LSH_DIM,
+    )
+
+
+Q43_SQL = f"""
+SELECT query_id AS id_a, neighbor_id AS id_b, cosine
+FROM ({_q26_sql(50)})
+WHERE cosine >= {_NEARDUP_THRESHOLD} AND query_id < neighbor_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1637,6 +1669,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_dimessages": q40_dimessages,
     "q41_ivf_topk": q41_ivf_topk,
     "q42_multimodal_features": q42_multimodal_features,
+    "q43_embedding_neardups": q43_embedding_neardups,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1685,6 +1718,7 @@ _ORACLES: dict[str, str] = {
     "q40_dimessages": Q40_SQL,
     "q41_ivf_topk": Q41_SQL,
     "q42_multimodal_features": Q42_SQL,
+    "q43_embedding_neardups": Q43_SQL,
 }
 
 
