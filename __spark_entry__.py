@@ -668,19 +668,19 @@ WITH base AS (
   FROM embeddings),
 norms AS (
   SELECT vec_id, v,
-         sqrt(CAST(list_sum(list_transform(v, x -> CAST(x * x AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
+         sqrt(CAST(list_sum(list_transform(v, x -> CAST(CAST(x AS DECIMAL(8,6)) * CAST(x AS DECIMAL(8,6)) AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
   FROM base),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          CAST(list_sum(list_transform(list_zip(q.v, c.v),
-              s -> CAST((struct_extract(s, 1) * struct_extract(s, 2)) AS DECIMAL(38,12)))) AS DOUBLE)
+              s -> CAST(CAST(struct_extract(s, 1) AS DECIMAL(8,6)) * CAST(struct_extract(s, 2) AS DECIMAL(8,6)) AS DECIMAL(38,12)))) AS DOUBLE)
            / (q.nrm * c.nrm) AS cosine
   FROM norms q JOIN norms c ON q.vec_id <> c.vec_id
   WHERE q.vec_id % 20 = 0),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 8) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
 FROM ranked WHERE rank <= 5
 """
 
@@ -693,7 +693,7 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
-    return out.select("doc_a", "doc_b", F.round("jaccard", 8).alias("jaccard"))
+    return out.select("doc_a", "doc_b", "jaccard")
 
 
 Q23_SQL = """
@@ -713,7 +713,7 @@ inter AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY a.doc, b.doc)
 SELECT doc_a, doc_b,
-       round(i * 1.0 / (sa.sz + sb.sz - i), 8) AS jaccard
+       i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
@@ -805,7 +805,7 @@ def _q26_sql(k: int = _LSH_K) -> str:
         lits = ", ".join(repr(c) for c in plane)
         return (
             f"list_sum(list_transform(list_zip(v, [{lits}]), "
-            "s -> CAST(struct_extract(s, 1) * struct_extract(s, 2) AS DECIMAL(38,12))))"
+            "s -> CAST(CAST(struct_extract(s, 1) AS DECIMAL(8,6)) * CAST(struct_extract(s, 2) AS DECIMAL(8,6)) AS DECIMAL(38,12))))"
         )
 
     buckets = []
@@ -830,12 +830,12 @@ cands AS (
   FROM stacked a JOIN stacked b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
 norms AS (
   SELECT vec_id, v,
-         sqrt(CAST(list_sum(list_transform(v, x -> CAST(x * x AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
+         sqrt(CAST(list_sum(list_transform(v, x -> CAST(CAST(x AS DECIMAL(8,6)) * CAST(x AS DECIMAL(8,6)) AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
   FROM base),
 pairs AS (
   SELECT c.query_id, c.neighbor_id,
          CAST(list_sum(list_transform(list_zip(q.v, n.v),
-              s -> CAST((struct_extract(s, 1) * struct_extract(s, 2)) AS DECIMAL(38,12)))) AS DOUBLE)
+              s -> CAST(CAST(struct_extract(s, 1) AS DECIMAL(8,6)) * CAST(struct_extract(s, 2) AS DECIMAL(8,6)) AS DECIMAL(38,12)))) AS DOUBLE)
            / (q.nrm * n.nrm) AS cosine
   FROM cands c
   JOIN norms q ON q.vec_id = c.query_id
@@ -843,7 +843,7 @@ pairs AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 8) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
 FROM ranked WHERE rank <= {k}
 """
 
@@ -1083,9 +1083,9 @@ def q39_fact_market_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dm_s_symb", "dm_date", "dm_close",
         "fiftytwoweekhigh", "fiftytwoweekhighdate",
         "fiftytwoweeklow", "fiftytwoweeklowdate",
-        F.round("peratio", 8).alias("peratio"),
+        "peratio",
         "alert_no_earnings",
-        F.round("yield", 8).alias("yield"),
+        "yield",
     )
 
 
@@ -1130,10 +1130,10 @@ sec AS (
 SELECT a.sym AS dm_s_symb, a.d AS dm_date, a.close AS dm_close,
        hid.v AS fiftytwoweekhigh, hid.vd AS fiftytwoweekhighdate,
        lod.v AS fiftytwoweeklow, lod.vd AS fiftytwoweeklowdate,
-       round(CASE WHEN eps.s IS NOT NULL AND eps.s <> 0 THEN a.close / eps.s END, 8) AS peratio,
+       CASE WHEN eps.s IS NOT NULL AND eps.s <> 0 THEN a.close / eps.s END AS peratio,
        (eps.s IS NULL OR eps.s = 0) AS alert_no_earnings,
-       round(CASE WHEN sec.dividend IS NOT NULL AND sec.dividend <> 0
-                  THEN sec.dividend / a.close * 100 END, 8) AS "yield"
+       CASE WHEN sec.dividend IS NOT NULL AND sec.dividend <> 0
+            THEN sec.dividend / a.close * 100 END AS "yield"
 FROM daily a
 JOIN hid ON hid.sym = a.sym AND hid.d = a.d
 JOIN lod ON lod.sym = a.sym AND lod.d = a.d
@@ -1365,7 +1365,7 @@ def q31_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_MH_HASHES, hash_fn="md5")
     cands = lsh_candidate_pairs(sigs, bands=_MH_BANDS, rows_per_band=_MH_ROWS, hash_fn="md5")
     out = minhash_jaccard_estimate(sigs, cands)
-    return out.select("doc_a", "doc_b", F.round("jaccard_est", 8).alias("jaccard_est"))
+    return out.select("doc_a", "doc_b", "jaccard_est")
 
 
 def _q31_sql() -> str:
@@ -1420,7 +1420,7 @@ cands AS (
   FROM stacked a JOIN stacked b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc)
 SELECT c.doc_a, c.doc_b,
-       round(({eq_terms}) * 1.0 / {_MH_HASHES}, 8) AS jaccard_est
+       ({eq_terms}) * 1.0 / {_MH_HASHES} AS jaccard_est
 FROM cands c
 JOIN sig sa ON sa.doc = c.doc_a
 JOIN sig sb ON sb.doc = c.doc_b
@@ -1524,8 +1524,8 @@ cents(cid, c) AS (VALUES {values}),
 dists AS (
   SELECT b.vec_id, cents.cid,
          list_sum(list_transform(list_zip(b.v, cents.c),
-              s -> CAST((struct_extract(s, 1) - struct_extract(s, 2))
-                        * (struct_extract(s, 1) - struct_extract(s, 2)) AS DECIMAL(38,12)))) AS d
+              s -> CAST((CAST(struct_extract(s, 1) AS DECIMAL(8,6)) - CAST(struct_extract(s, 2) AS DECIMAL(8,6)))
+                        * (CAST(struct_extract(s, 1) AS DECIMAL(8,6)) - CAST(struct_extract(s, 2) AS DECIMAL(8,6))) AS DECIMAL(38,12)))) AS d
   FROM base b CROSS JOIN cents),
 ranked_cells AS (
   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
@@ -1534,12 +1534,12 @@ lists AS (SELECT vec_id AS neighbor_id, cid FROM ranked_cells WHERE rnk = 1),
 probes AS (SELECT vec_id AS query_id, cid FROM ranked_cells WHERE rnk <= {_IVF_NPROBE}),
 norms AS (
   SELECT vec_id, v,
-         sqrt(CAST(list_sum(list_transform(v, x -> CAST(x * x AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
+         sqrt(CAST(list_sum(list_transform(v, x -> CAST(CAST(x AS DECIMAL(8,6)) * CAST(x AS DECIMAL(8,6)) AS DECIMAL(38,12)))) AS DOUBLE)) AS nrm
   FROM base),
 pairs AS (
   SELECT p.query_id, l.neighbor_id,
          CAST(list_sum(list_transform(list_zip(q.v, n.v),
-              s -> CAST((struct_extract(s, 1) * struct_extract(s, 2)) AS DECIMAL(38,12)))) AS DOUBLE)
+              s -> CAST(CAST(struct_extract(s, 1) AS DECIMAL(8,6)) * CAST(struct_extract(s, 2) AS DECIMAL(8,6)) AS DECIMAL(38,12)))) AS DOUBLE)
            / (q.nrm * n.nrm) AS cosine
   FROM probes p
   JOIN lists l ON p.cid = l.cid AND p.query_id <> l.neighbor_id
@@ -1548,7 +1548,7 @@ pairs AS (
 topk AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs)
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(cosine, 8) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
 FROM topk WHERE rank <= {_IVF_K}
 """
 

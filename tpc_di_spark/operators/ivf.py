@@ -41,11 +41,20 @@ def _centroid_df(spark, centroids: Sequence[Sequence[float]]) -> DataFrame:
 
 
 def _sq_dist(v, c):
-    """Exact squared L2 distance: per-component (x-c)^2 cast to DECIMAL
-    before the fold, so comparisons (and therefore argmin assignment)
-    never depend on float summation order."""
-    d = F.zip_with(v, c, lambda x, y: ((x.cast("double") - y) * (x.cast("double") - y)).cast(_DEC))
-    return F.aggregate(d, F.lit(0).cast(_DEC), lambda acc, t: (acc + t).cast(_DEC))
+    """Exact squared L2 distance: inputs quantized to DECIMAL(8,6), the
+    difference/square/sum then pure decimal arithmetic — comparisons (and
+    therefore argmin assignment) are engine- and partitioning-independent
+    (same portability argument as similarity._dot, including the small
+    exact accumulator that avoids Spark's precision-loss rounding)."""
+    q = "decimal(8,6)"
+    acc_t = "decimal(20,12)"
+
+    def term(x, y):
+        d = x.cast("double").cast(q) - y.cast("double").cast(q)
+        return d * d
+
+    d = F.zip_with(v, c, term)
+    return F.aggregate(d, F.lit(0).cast(acc_t), lambda acc, t: (acc + t).cast(acc_t))
 
 
 def ivf_assign(
@@ -103,7 +112,7 @@ def ivf_topk(
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 

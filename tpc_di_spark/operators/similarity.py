@@ -1,8 +1,10 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk_bruteforce``: exact top-k neighbors for a query subset —
-  the correctness baseline. Dot products are exact DECIMAL sums so results
-  hash-match a SQL oracle bit-for-bit.
+  the correctness baseline. Inputs are quantized to DECIMAL(8,6) and the
+  dot products are then EXACT decimal arithmetic (see ``_dot``), so the
+  cosine doubles are bit-identical across engines and are emitted raw —
+  no rounding, which would reintroduce engine-specific tie behavior.
 - ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets
   bound the candidate set, turning the O(Q x N) scan into per-bucket
   joins; recall is tunable via tables x bits.
@@ -20,12 +22,36 @@ from pyspark.sql import DataFrame, Window
 _DEC = "decimal(38,12)"
 
 
+_QDEC = "decimal(8,6)"
+_ACC = "decimal(20,12)"
+
+
 def _dot(a, b) -> F.Column:
-    """Exact (associative, order-independent) dot product via DECIMAL."""
-    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
-    # Re-cast inside the merge: decimal addition widens precision and
-    # aggregate() requires the accumulator type to stay fixed.
-    return F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, v: (acc + v).cast(_DEC))
+    """Exact, engine-portable dot product.
+
+    Each INPUT element is quantized to DECIMAL(8,6); products and sums are
+    then pure decimal arithmetic — exact, associative, no rounding at all.
+    Quantizing the inputs (not the products) is what makes this portable:
+    rounding a double PRODUCT to 12 decimal places differs between
+    engines (round-1 did that, and DuckDB's scaled-double conversion
+    disagreed with Java's BigDecimal at ~1e-11), while a 6-decimal input
+    quantization leaves nothing to round downstream.
+
+    The accumulator is DECIMAL(20,12), NOT (38,12): adding two decimals
+    whose combined precision exceeds 38 trips Spark's precision-loss
+    rule, which silently rounds every intermediate to scale 11 — the
+    1e-11 cross-engine drift round 1 shipped. (20,12)+(17,12) stays at
+    precision 21, so the fold is exact for dim * max|x|^2 < 1e8, and the
+    final sum's unscaled value stays under 2^53, so the one
+    decimal->double cast at the end is a single correctly-rounded
+    division in every engine — the cosine doubles are bit-identical, not
+    just close."""
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double").cast(_QDEC) * y.cast("double").cast(_QDEC)
+    )
+    return F.aggregate(
+        prods, F.lit(0).cast(_ACC), lambda acc, v: (acc + v).cast(_ACC)
+    )
 
 
 def _norm(a) -> F.Column:
@@ -70,7 +96,7 @@ def cosine_topk_bruteforce(
     return (
         j.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 
@@ -103,11 +129,7 @@ def hyperplane_buckets(
     v = F.col(vec_col)
     for b in range(bits):
         plane = F.array(*[F.lit(c) for c in hyperplane_components(seed, b, dim)])
-        d = F.aggregate(
-            F.zip_with(v, plane, lambda x, h: (x.cast("double") * h).cast(_DEC)),
-            F.lit(0).cast(_DEC),
-            lambda acc, x: (acc + x).cast(_DEC),
-        )
+        d = _dot(v, plane)
         bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         bucket = term if bucket is None else bucket.bitwiseXOR(term)
@@ -164,7 +186,7 @@ def lsh_bucketed_topk(
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 
