@@ -157,12 +157,8 @@ def run_cdc_replay(cores: int, n_convs: int, n_incr: int) -> dict:
 def _pinned_replay(cores: int, n_convs: int, n_incr: int, with_mor: bool = False) -> dict:
     """Run one warmed-up replay in a fresh subprocess pinned to ``cores``
     physical CPUs."""
-    # Pin to the TOP of the core range: vCPU0 carries guest IRQ and
-    # kernel housekeeping, which taxes a 2-core slice measurably.
     pin = (
-        ["taskset", "-c", f"{CPUS - cores}-{CPUS - 1}"]
-        if shutil.which("taskset")
-        else []
+        ["taskset", "-c", f"0-{cores - 1}"] if shutil.which("taskset") else []
     )
     cmd = pin + [
         sys.executable, os.path.abspath(__file__),
