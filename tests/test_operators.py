@@ -1,6 +1,7 @@
 import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
 from tpc_di_spark.operators.dedup import (
     exact_dedup,
@@ -81,6 +82,21 @@ def test_cosine_topk_bruteforce(spark):
     assert len(out) == 3
     assert out[0].neighbor_id == 100 and abs(out[0].cosine - 1.0) < 1e-9
     assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_check_embedding_domain_fails_loudly(spark):
+    """Out-of-range embedding elements (|x| >= 100, outside the exact-
+    DECIMAL(8,6) quantization domain) must raise, not silently NULL the
+    cosine (ADVICE r02)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tpc_di_spark.operators.similarity import check_embedding_domain
+
+    ok = spark.createDataFrame([(1, [0.5, -99.9])], "id int, embedding array<double>")
+    assert check_embedding_domain(ok, "embedding").count() == 1
+    bad = spark.createDataFrame([(1, [0.5, 150.0])], "id int, embedding array<double>")
+    with pytest.raises(SparkRuntimeException):
+        check_embedding_domain(bad, "embedding").collect()
 
 
 def test_lsh_topk_finds_exact_copy(spark):
@@ -210,6 +226,30 @@ def test_trailing_extreme_with_argdate_ties_and_min(spark):
     }
     assert lo[("A", "2024-04-01")] == (5.0, "2024-04-01")
 
+    # NULL values must be SKIPPED by both extremes (SQL MIN/MAX semantics;
+    # the reference's MIN(DAYLOW) ignores NULLs) — an unguarded
+    # min-over-struct would pick the NULL-v struct because struct
+    # comparison sorts NULL fields first.
+    rows_null = [
+        ("A", dt.datetime(2024, 1, 1), 5.0),
+        ("A", dt.datetime(2024, 2, 1), None),
+        ("A", dt.datetime(2024, 3, 1), 7.0),
+    ]
+    dfn = spark.createDataFrame(rows_null, "k string, d timestamp, v double")
+    lo_n = {
+        (r.k, str(r.d.date())): (r.ext_value, r.ext_date)
+        for r in trailing_extreme_with_argdate(dfn, "k", "d", "v", extreme="min").collect()
+    }
+    assert lo_n[("A", "2024-03-01")][0] == 5.0, "NULL in window must not poison the min"
+    assert str(lo_n[("A", "2024-03-01")][1].date()) == "2024-01-01"
+    # a frame of only-NULL values yields NULL (matches SQL MIN of all-NULL)
+    assert lo_n[("A", "2024-02-01")][0] == 5.0  # frame includes the 5.0 row
+    hi_n = {
+        (r.k, str(r.d.date())): r.ext_value
+        for r in trailing_extreme_with_argdate(dfn, "k", "d", "v").collect()
+    }
+    assert hi_n[("A", "2024-03-01")] == 7.0
+
 
 def test_trailing_sum_ratio_strictly_prior(spark):
     import datetime as dt
@@ -317,8 +357,16 @@ def test_ivf_topk_and_kmeans(spark):
     for r in cosine_topk_bruteforce(e, "vec_id", "embedding", k=5).collect():
         ex.setdefault(r.query_id, set()).add(r.neighbor_id)
     total = sum(len(v) for v in ex.values())
-    ap: dict[int, set] = {}
-    for r in ivf_topk(e, "vec_id", "embedding", cents, k=5, nprobe=4).collect():
-        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
-    rec = sum(len(ex[q] & ap.get(q, set())) for q in ex) / total
-    assert rec >= 0.65, f"trained IVF recall@5 too low: {rec}"
+
+    # Recall/cost curve (VERDICT r02 #8): recall@5 must rise monotonically
+    # with nprobe and reach >=0.9 when probing all nlist cells (nprobe=8 =
+    # exhaustive search through the inverted lists).
+    curve = {}
+    for nprobe in (1, 2, 4, 8):
+        ap: dict[int, set] = {}
+        for r in ivf_topk(e, "vec_id", "embedding", cents, k=5, nprobe=nprobe).collect():
+            ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+        curve[nprobe] = sum(len(ex[q] & ap.get(q, set())) for q in ex) / total
+    assert curve[4] >= 0.65, f"trained IVF recall@5 too low at nprobe=4: {curve}"
+    assert curve[1] <= curve[2] <= curve[4] <= curve[8], f"recall not monotone: {curve}"
+    assert curve[8] >= 0.9, f"full-probe recall must approach exact: {curve}"

@@ -322,3 +322,9 @@ def test_running_conversation_state_across_microbatches(spark, tmp_path):
             latest[r.conv_id] = r
     assert latest["c1"].n_turns == 3 and latest["c1"].last_role == "tool"
     assert latest["c2"].n_turns == 1 and latest["c2"].last_role == "user"
+    # last_ts must round-trip as MICROSECONDS regardless of the pandas/
+    # Arrow timestamp resolution (ADVICE r02: a ns-resolution stack would
+    # have produced a wildly wrong epoch here without the explicit
+    # datetime64[us] normalization).
+    assert latest["c1"].last_ts == t0 + dt.timedelta(minutes=2)
+    assert latest["c2"].last_ts == t0

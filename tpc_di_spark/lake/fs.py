@@ -29,10 +29,17 @@ verbatim as object-store keys.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
+import threading
 import uuid
 from typing import Iterator
+
+
+class CasConflict(RuntimeError):
+    """Conditional PUT failed: the object changed since this handle last
+    read it (HTTP 412 Precondition Failed on S3/GCS)."""
 
 
 class TableFS:
@@ -75,6 +82,12 @@ class TableFS:
     def parquet_num_rows(self, path: str) -> int:
         """Row count from the parquet footer — metadata-sized I/O, never a
         full file read (ranged GET on object stores)."""
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds) of a file — the LastModified
+        field of an object-store LIST/HEAD response. Used by snapshot
+        expiry's min-age orphan guard."""
         raise NotImplementedError
 
 
@@ -122,3 +135,105 @@ class LocalFS(TableFS):
         import pyarrow.parquet as pq
 
         return pq.ParquetFile(path).metadata.num_rows
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+
+class ObjectStoreFS(TableFS):
+    """Object-store-semantics implementation, backed by the local disk so
+    Spark-written data files remain visible through it.
+
+    This is the executable form of the S3/GCS mapping documented above —
+    the lake/orchestrator test suites run against it to prove the table
+    format carries NO hidden POSIX assumptions:
+
+    - **No atomic rename.** ``replace_text`` is a *conditional PUT*: the
+      new content overwrites in place, guarded by an If-Match check on the
+      ETag (content hash) this handle observed at its last ``read_text``
+      of the path. A concurrent writer's PUT changes the ETag and the
+      conditional PUT raises :class:`CasConflict` — exactly S3/GCS
+      compare-and-swap. A path never read by this handle asserts
+      If-None-Match:* (create-only).
+    - **No directories.** ``makedirs`` is a no-op (object stores have only
+      key prefixes); writes create local parent dirs on demand, purely as
+      a disk-backing artifact.
+    - ``listdir``/``walk_files`` are prefix LISTs; ``mtime`` is the
+      LastModified LIST field.
+    """
+
+    def __init__(self) -> None:
+        self._seen_etags: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _etag(text: str) -> str:
+        return hashlib.md5(text.encode()).hexdigest()
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            text = f.read()
+        with self._lock:
+            self._seen_etags[os.path.abspath(path)] = self._etag(text)
+        return text
+
+    def write_text(self, path: str, text: str) -> None:
+        # Unconditional PUT of an immutable object. Whole-object PUTs are
+        # atomic on object stores; the local backing write is good enough
+        # for tests (nothing reads an immutable object before the commit
+        # point names it).
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+        with self._lock:
+            self._seen_etags[os.path.abspath(path)] = self._etag(text)
+
+    def replace_text(self, path: str, text: str) -> None:
+        key = os.path.abspath(path)
+        with self._lock:
+            expected = self._seen_etags.get(key)
+            if os.path.exists(path):
+                with open(path) as f:
+                    current = self._etag(f.read())
+                if expected is None:
+                    raise CasConflict(
+                        f"If-None-Match:* failed — {path} already exists"
+                    )
+                if current != expected:
+                    raise CasConflict(
+                        f"If-Match failed on {path}: object changed since last read"
+                    )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:  # in-place PUT — no rename anywhere
+                f.write(text)
+            self._seen_etags[key] = self._etag(text)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def makedirs(self, path: str) -> None:
+        pass  # key prefixes need no creation
+
+    def listdir(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []  # empty prefix LIST, not an error
+        return sorted(os.listdir(path))
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def walk_files(self, root: str) -> Iterator[str]:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                yield os.path.join(dirpath, fn)
+
+    def parquet_num_rows(self, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)

@@ -51,7 +51,9 @@ def compact(
     }
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    table: LakeTable, keep_last: int = 2, min_age_seconds: float = 0.0
+) -> dict:
     """Drop snapshot metadata older than the last ``keep_last`` and delete
     data files no snapshot references anymore (orphans from compaction /
     replaced buckets). The current snapshot is never touched.
@@ -59,7 +61,17 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     Refreshes the handle first: the keep set must derive from the on-disk
     current snapshot, or a stale handle would treat files referenced only
     by newer snapshots (including the actual current one) as orphans and
-    permanently delete live data."""
+    permanently delete live data.
+
+    CONCURRENCY: the refresh + post-scan snapshot-id guard protects
+    against commits that *complete* around the delete loop, but a writer
+    mid-commit has already written data files that no snapshot references
+    *yet* — to a same-instant expiry they are indistinguishable from
+    orphans. Either serialize expiry with writers (the orchestrator's
+    single-writer model does this for free), or pass ``min_age_seconds``
+    greater than the longest possible commit duration: files younger than
+    that are skipped via ``TableFS.mtime`` (Iceberg's orphan-file min-age
+    rule; LastModified on object stores)."""
     table.refresh()
     history = table.history()
     keep_ids = {h["snapshot_id"] for h in history[-keep_last:]}
@@ -85,11 +97,16 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
 
     data_root = os.path.join(table.path, "data")
     removed_files = 0
+    skipped_young = 0
+    now = time.time()
     for fpath in table.fs.walk_files(data_root):
         if not fpath.endswith(".parquet"):
             continue
         rel = os.path.relpath(fpath, table.path)
         if rel not in live:
+            if min_age_seconds > 0 and now - table.fs.mtime(fpath) < min_age_seconds:
+                skipped_young += 1  # possibly an in-flight writer's file
+                continue
             table.fs.remove(fpath)
             removed_files += 1
 
@@ -102,7 +119,11 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
             if table.fs.exists(p):
                 table.fs.remove(p)
                 removed_snaps += 1
-    return {"removed_files": removed_files, "removed_snapshots": removed_snaps}
+    return {
+        "removed_files": removed_files,
+        "removed_snapshots": removed_snaps,
+        "skipped_young_files": skipped_young,
+    }
 
 
 def rebucket(table: LakeTable, new_num_buckets: int) -> dict:

@@ -51,7 +51,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from tpc_di_spark.lake.fs import LocalFS, TableFS
+from tpc_di_spark.lake.fs import CasConflict, LocalFS, TableFS
 
 _META = "_meta"
 _DATA = "data"
@@ -412,5 +412,10 @@ class LakeTable:
         # The point of atomicity: a crash before this replace leaves the old
         # snapshot live and the new one orphaned; after it, the new one is
         # fully live. There is no intermediate state. (Rename locally/HDFS;
-        # conditional PUT on S3/GCS — see lake/fs.py.)
-        self.fs.replace_text(os.path.join(meta, _VERSION), snap_name)
+        # conditional PUT on S3/GCS — see lake/fs.py. A CAS failure means a
+        # writer snuck in between the parent check above and the PUT — the
+        # same condition as the explicit check, same exception.)
+        try:
+            self.fs.replace_text(os.path.join(meta, _VERSION), snap_name)
+        except CasConflict as e:
+            raise CommitConflict(str(e)) from e

@@ -126,18 +126,27 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for IVF centroids.
 
-    Init: the ``nlist`` vectors with the smallest ids (deterministic; at
-    scale seed with a hash-sampled subset instead). Each iteration: one
-    distributed assignment + one exact-DECIMAL component-sum aggregation;
-    the nlist x dim division runs in Python so no engine-specific decimal
-    division semantics leak into the centroids. Empty cells keep their
-    previous centroid."""
+    Init: a deterministic hash-sample — keep rows with
+    ``pmod(xxhash64(id), 64) == 0`` (an id-distribution-independent ~1.6%
+    subset), then the ``nlist`` smallest xxhash64 values within it. The
+    order-by-limit compiles to TakeOrderedAndProject over the filtered
+    scan (per-partition top-k + driver merge — no full sort, no shuffle),
+    and the hash decorrelates the seeds from id assignment order. Falls
+    back to the unfiltered corpus when the sample is smaller than
+    ``nlist`` (tiny inputs). Each iteration: one distributed assignment +
+    one exact-DECIMAL component-sum aggregation; the nlist x dim division
+    runs in Python so no engine-specific decimal division semantics leak
+    into the centroids. Empty cells keep their previous centroid."""
+    h = F.xxhash64(F.col(id_col))
+    base = emb.select(F.col(id_col), F.col(vec_col), h.alias("_h"))
     init = (
-        emb.select(F.col(id_col), F.col(vec_col))
-        .orderBy(id_col)
+        base.filter(F.pmod(F.col("_h"), F.lit(64)) == 0)
+        .orderBy("_h", id_col)
         .limit(nlist)
         .collect()
     )
+    if len(init) < nlist:
+        init = base.orderBy("_h", id_col).limit(nlist).collect()
     centroids = [[float(x) for x in r[1]] for r in init]
     dim = dim or len(centroids[0])
     for _ in range(iters):
@@ -162,6 +171,21 @@ def kmeans_fit(
                 new[cid][pos] = float(s) / n
         centroids = new
     return centroids
+
+
+def trained_centroids_sf001() -> list[list[float]]:
+    """Centroids trained ONCE offline by ``tools/train_ivf_centroids.py``
+    (deterministic kmeans_fit on the sf0.01 embeddings fixture) and
+    checked in as literals. Used by the q41 contract query: the oracle
+    inlines the same literals into static SQL, and the cells are balanced
+    — the data-independent ``pseudo_centroids`` degenerated to one giant
+    cell on this corpus (~N^2 candidates, 69.8s at sf0.01 in BENCH_r02)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "ivf_centroids_sf001.json")
+    with open(path) as f:
+        return json.load(f)["centroids"]
 
 
 def pseudo_centroids(nlist: int, dim: int, seed: str = "ivf") -> list[list[float]]:

@@ -45,7 +45,14 @@ def _dot(a, b) -> F.Column:
     final sum's unscaled value stays under 2^53, so the one
     decimal->double cast at the end is a single correctly-rounded
     division in every engine — the cosine doubles are bit-identical, not
-    just close."""
+    just close.
+
+    INPUT DOMAIN: every element must satisfy |x| < 100 — DECIMAL(8,6)
+    holds 2 integer digits, and an out-of-range cast is NULL under
+    non-ANSI mode, silently nulling the whole dot product. Embeddings are
+    expected (near-)normalized, so real inputs sit far inside the bound;
+    run ``check_embedding_domain`` on a debug path to fail loudly if an
+    upstream producer violates it."""
     prods = F.zip_with(
         a, b, lambda x, y: x.cast("double").cast(_QDEC) * y.cast("double").cast(_QDEC)
     )
@@ -56,6 +63,29 @@ def _dot(a, b) -> F.Column:
 
 def _norm(a) -> F.Column:
     return F.sqrt(_dot(a, a).cast("double"))
+
+
+def check_embedding_domain(df: DataFrame, col: str, limit: float = 100.0) -> DataFrame:
+    """Fail LOUDLY (SparkRuntimeException via assert_true) if any element
+    of the embedding column falls outside the |x| < ``limit`` domain that
+    the exact-decimal ``_dot`` quantization requires — instead of the
+    silent NULL cosine an out-of-range cast would otherwise produce.
+    Pure Column expression (exists + assert_true); wire it into debug
+    paths, not the hot path."""
+    in_domain = ~F.exists(F.col(col), lambda x: F.abs(x) >= F.lit(limit))
+    return df.withColumn(
+        col,
+        F.when(
+            F.assert_true(
+                in_domain,
+                F.concat(
+                    F.lit(f"embedding element out of |x|<{limit} domain in "),
+                    F.lit(col),
+                ),
+            ).isNull(),
+            F.col(col),
+        ),
+    )
 
 
 def with_cosine(df: DataFrame, a: str, b: str, alias: str = "cosine") -> DataFrame:

@@ -79,11 +79,25 @@ def trailing_extreme_with_argdate(
     us = F.unix_micros(F.col(date_col).cast("timestamp"))
     lower = -days * 86_400_000_000 + (1 if lower_exclusive else 0)
     w = Window.partitionBy(key_col).orderBy(us).rangeBetween(lower, 0)
+    # NULL guard: struct comparison sorts a NULL field FIRST, so an
+    # unguarded min() over struct(v, us) would return the NULL-v struct
+    # whenever any value in the frame is NULL — diverging from the
+    # reference's MIN(DAYLOW), which ignores NULLs. Wrapping in when()
+    # makes the whole struct NULL for NULL values; min/max aggregates
+    # skip NULL inputs, matching SQL MIN/MAX semantics on both paths.
+    guarded = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(value_col).alias("v"), (-us).alias("negus")),
+    )
     if extreme == "max":
-        s = F.max(F.struct(F.col(value_col).alias("v"), (-us).alias("negus"))).over(w)
+        s = F.max(guarded).over(w)
         ext_value, ext_us = s["v"], -s["negus"]
     elif extreme == "min":
-        s = F.min(F.struct(F.col(value_col).alias("v"), us.alias("us"))).over(w)
+        guarded_min = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(F.col(value_col).alias("v"), us.alias("us")),
+        )
+        s = F.min(guarded_min).over(w)
         ext_value, ext_us = s["v"], s["us"]
     else:
         raise ValueError(f"extreme must be 'max' or 'min', got {extreme!r}")

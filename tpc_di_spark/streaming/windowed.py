@@ -112,9 +112,16 @@ def running_conversation_state(events: DataFrame) -> DataFrame:
         n, role, last_us = state.get if state.exists else (0, None, -1)
         for pdf in pdfs:
             n += len(pdf)
-            us = (pdf["ts"].astype("int64")).max()
+            # Normalize to MICROSECONDS explicitly: a bare astype("int64")
+            # on a datetime column yields whatever resolution the Arrow
+            # bridge produced (ns on older pandas/pyarrow stacks, us on
+            # this one) — environment-dependent. datetime64[us] first
+            # makes the unit unconditional, so pd.Timestamp(last_us,
+            # unit="us") below is always correct.
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            us = ts_us.max()
             if us > last_us:
-                idx = (pdf["ts"].astype("int64")).idxmax()
+                idx = ts_us.idxmax()
                 role = pdf["role"].loc[idx]
                 last_us = int(us)
         state.update((n, role, last_us))
