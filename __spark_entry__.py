@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import types as T
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -1663,6 +1664,127 @@ WHERE cosine >= {_NEARDUP_THRESHOLD} AND query_id < neighbor_id
 
 
 # ---------------------------------------------------------------------------
+# Q44-Q46 — the reference's file-format intake, contract-exercised
+# (VERDICT r02 #4; S1/S2/S4/S6 were pytest-only): each query materializes
+# a driver table to deterministic text sidecars (sources/
+# sidecar_fixtures.py), re-reads them through the REAL scan operators
+# (sources/delimited.py:18-39, fixed_width.py:91-110), and the oracle
+# reads the same bytes with DuckDB read_csv. Reference intake shapes:
+# pipe-delimited `Incremental1/IncrementalCustomer.py:170-207`, CSV
+# header `Historical/prospect.py:71-104`, FINWIRE `Historical/test.py:
+# 66-181`, BatchDate `IncrementalFactProspect.py:195-210`.
+# ---------------------------------------------------------------------------
+
+from tpc_di_spark.sources.sidecar_fixtures import (  # noqa: E402
+    BATCH_DATE,
+    make_sidecars,
+    sidecar_dir,
+)
+
+_SIDECAR_ORACLE_DIR = sidecar_dir("/root/testdata/sf0.01")
+
+
+def q44_pipe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 pipe-delimited scan (empty→NULL, typed casts) + S6 batch-date
+    scalar, over bytes the oracle reads too."""
+    from tpc_di_spark.sources.delimited import read_batch_date, read_pipe_delimited
+
+    out = make_sidecars(sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DecimalType(12, 2)),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    df = read_pipe_delimited(spark, os.path.join(out, "customer.psv"), schema)
+    bd = read_batch_date(os.path.join(out, "BatchDate.txt"))
+    return df.withColumn("batch_date", F.to_date(F.lit(bd)))
+
+
+Q44_SQL = f"""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       DATE '{BATCH_DATE}' AS batch_date
+FROM read_csv('{_SIDECAR_ORACLE_DIR}/customer.psv', delim='|', header=false,
+  columns={{'c_custkey':'BIGINT','c_name':'VARCHAR','c_nationkey':'INTEGER',
+           'c_acctbal':'DECIMAL(12,2)','c_mktsegment':'VARCHAR'}})
+"""
+
+
+def q45_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 FINWIRE fixed-width scan: CMP records parsed by char offsets
+    (typed, empty→NULL), FIN records filtered out by the type tag."""
+    from tpc_di_spark.sources.fixed_width import FwField, read_fixed_width
+
+    out = make_sidecars(sf_dir)
+    fields = (
+        FwField("pts", 0, 15),
+        FwField("rec_type", 15, 3),
+        FwField("company_name", 18, 60),
+        FwField("cik", 78, 10, "long"),
+        FwField("status", 88, 4),
+        FwField("industry_id", 92, 2),
+        FwField("sp_rating", 94, 4),
+        FwField("founding_date", 98, 8),
+    )
+    return read_fixed_width(
+        spark, os.path.join(out, "finwire.txt"), "CMP", fields=fields
+    )
+
+
+Q45_SQL = f"""
+WITH lines AS (
+  SELECT value FROM read_csv('{_SIDECAR_ORACLE_DIR}/finwire.txt', delim='|',
+    header=false, quote='', columns={{'value':'VARCHAR'}})
+)
+SELECT nullif(trim(substr(value, 1, 15)), '')  AS pts,
+       nullif(trim(substr(value, 16, 3)), '')  AS rec_type,
+       nullif(trim(substr(value, 19, 60)), '') AS company_name,
+       CAST(nullif(trim(substr(value, 79, 10)), '') AS BIGINT) AS cik,
+       nullif(trim(substr(value, 89, 4)), '')  AS status,
+       nullif(trim(substr(value, 93, 2)), '')  AS industry_id,
+       nullif(trim(substr(value, 95, 4)), '')  AS sp_rating,
+       nullif(trim(substr(value, 99, 8)), '')  AS founding_date
+FROM lines
+WHERE substr(value, 16, 3) = 'CMP'
+"""
+
+
+def q46_csv_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 CSV-with-header scan through the same delimited reader."""
+    from tpc_di_spark.sources.delimited import read_csv_with_header
+
+    out = make_sidecars(sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DecimalType(12, 2)),
+        ]
+    )
+    return read_csv_with_header(spark, os.path.join(out, "part.csv"), schema)
+
+
+Q46_SQL = f"""
+SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
+FROM read_csv('{_SIDECAR_ORACLE_DIR}/part.csv', delim=',', header=true,
+  columns={{'p_partkey':'BIGINT','p_brand':'VARCHAR','p_type':'VARCHAR',
+           'p_size':'INTEGER','p_retailprice':'DECIMAL(12,2)'}})
+"""
+
+# The oracle side runs against the fixed sf0.01 sidecars; regenerate them
+# eagerly at import so Spark/DuckDB can execute in either order.
+try:
+    make_sidecars("/root/testdata/sf0.01")
+except Exception:  # testdata absent in some environments — queries regenerate
+    pass
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1710,6 +1832,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_ivf_topk": q41_ivf_topk,
     "q42_multimodal_features": q42_multimodal_features,
     "q43_embedding_neardups": q43_embedding_neardups,
+    "q44_pipe_scan": q44_pipe_scan,
+    "q45_fixed_width": q45_fixed_width,
+    "q46_csv_header_scan": q46_csv_header_scan,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1760,6 +1885,9 @@ _ORACLES: dict[str, str] = {
     "q41_ivf_topk": Q41_SQL,
     "q42_multimodal_features": Q42_SQL,
     "q43_embedding_neardups": Q43_SQL,
+    "q44_pipe_scan": Q44_SQL,
+    "q45_fixed_width": Q45_SQL,
+    "q46_csv_header_scan": Q46_SQL,
 }
 
 

@@ -330,19 +330,34 @@ def build_prospect(
         p = p.withColumn("sk_updatedateid", F.lit(batch_sk))
 
     # J7: IsCustomer via case-insensitive demographic match vs ACTIVE
-    # customers (`prospect.py:172-182`).
+    # customers (`prospect.py:172-182`). The probe is ONE xxhash64 of the
+    # four upper-cased fields (8 bytes/row) rather than the fields
+    # themselves, and carries NO broadcast hint: at the 100x design point
+    # the active-customer dimension is not broadcast-sized, so the plan is
+    # left to AQE (which will still broadcast when the hashed probe fits —
+    # and at 8 bytes/row it fits ~30x more customers than the string
+    # projection did). Rows with any NULL field keep NULL keys on both
+    # sides (never match), preserving the reference's NULL-equality
+    # semantics; the only divergence from exact string matching is a
+    # 64-bit hash collision.
+    _match_fields = ("first_name", "last_name", "address_line1", "postal_code")
+
+    def _match_key(qual) -> F.Column:
+        cols = [F.upper(qual(c)) for c in _match_fields]
+        all_present = F.lit(True)
+        for c in cols:
+            all_present = all_present & c.isNotNull()
+        return F.when(all_present, F.xxhash64(*cols))
+
     probe = customers_active.select(
-        *[F.upper(F.col(c)).alias(f"_m_{c}") for c in ("first_name", "last_name", "address_line1", "postal_code")]
-    ).distinct()
-    match_cond = (
-        (F.upper(p.first_name) == F.col("_m_first_name"))
-        & (F.upper(p.last_name) == F.col("_m_last_name"))
-        & (F.upper(p.address_line1) == F.col("_m_address_line1"))
-        & (F.upper(p.postal_code) == F.col("_m_postal_code"))
+        _match_key(F.col).alias("_m_key")
+    ).where(F.col("_m_key").isNotNull()).distinct()
+    return (
+        p.withColumn("_p_key", _match_key(lambda c: p[c]))
+        .join(probe, F.col("_p_key") == F.col("_m_key"), "left")
+        .withColumn("is_customer", F.col("_m_key").isNotNull())
+        .drop("_p_key", "_m_key")
     )
-    return p.join(F.broadcast(probe), match_cond, "left").withColumn(
-        "is_customer", F.col("_m_first_name").isNotNull()
-    ).drop("_m_first_name", "_m_last_name", "_m_address_line1", "_m_postal_code")
 
 
 # ---------------------------------------------------------------------------
@@ -407,6 +422,14 @@ def build_dim_security(
             )
         ],
     )
+    # SIZE ASSUMPTION behind the two broadcast hints below: DimCompany is
+    # a true dimension (one row per company + SCD2 history, 4 narrow
+    # columns projected) — at TPC-DI SF10k that is ~5M rows / ~200 MB,
+    # broadcastable on executor-sized memory, and the band join would
+    # otherwise be a fact-sized SMJ on a range predicate. If the company
+    # dim ever outgrows broadcast, drop the hints: the disjunctive
+    # temporal join falls back to temporal_join.band_join's sort-merge
+    # path (used by q39's fact-sized band join).
     by_name = dim_company.select(
         F.col("name").alias("_m_name"),
         F.col("effective_ts").alias("_eff_a"),
