@@ -203,7 +203,7 @@ def test_crash_resume_mid_batch(spark, tmp_path):
     o_crash.apply_batch(batches[0][1], 1)
 
     calls = {"n": 0}
-    orig = t_crash.write_data_files
+    orig = t_crash.write_data_files_split
 
     def flaky(df, tag):
         calls["n"] += 1
@@ -211,10 +211,10 @@ def test_crash_resume_mid_batch(spark, tmp_path):
             raise RuntimeError("simulated kill")
         return orig(df, tag)
 
-    t_crash.write_data_files = flaky
+    t_crash.write_data_files_split = flaky
     with pytest.raises(RuntimeError, match="simulated kill"):
         o_crash.apply_batch(batches[1][1], 2)
-    t_crash.write_data_files = orig
+    t_crash.write_data_files_split = orig
 
     # Crash left the table on the pre-batch snapshot (atomicity).
     assert t_crash.refresh().snapshot.snapshot_id == t_ref.read_snapshot(
@@ -250,7 +250,7 @@ def test_resume_across_geometry_change(spark, tmp_path):
 
     # Kill after the first group's manifest is sealed.
     calls = {"n": 0}
-    orig = t.write_data_files
+    orig = t.write_data_files_split
 
     def flaky(df, tag):
         if calls["n"] == 1:
@@ -258,10 +258,10 @@ def test_resume_across_geometry_change(spark, tmp_path):
         calls["n"] += 1
         return orig(df, tag)
 
-    t.write_data_files = flaky
+    t.write_data_files_split = flaky
     with pytest.raises(RuntimeError, match="simulated kill"):
         grouped.apply_batch(batches[1][1], 2)
-    t.write_data_files = orig
+    t.write_data_files_split = orig
 
     # Resume under a DIFFERENT geometry: single-group fast path.
     single = CdcOrchestrator(t, buckets_per_group=8)

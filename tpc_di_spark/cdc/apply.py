@@ -101,12 +101,20 @@ def merge_batch_rows(
     key = list(table.key_cols)
     payload = [c for c in data_cols(table) if c not in key]
 
-    history = target.filter(~F.col("is_current"))
-    current = target.filter(F.col("is_current"))
-
-    t = current.alias("t")
+    # ONE scan of the target, not two: the pre-r03 shape split the table
+    # into history/current filter subtrees and unioned history back in —
+    # Catalyst executes that as TWO full parquet scans per batch (no
+    # row-group pruning on is_current: files are clustered by bucket, so
+    # every row group mixes both). Folding `t.is_current` into the join
+    # condition instead makes history rows simply fail to match: the
+    # full-outer join emits them unmatched, and the kept_or_closed branch
+    # below already passes unmatched target rows through verbatim. Events
+    # still pair with exactly the one current version of their key. Halves
+    # table-read bytes per batch — the dominant shared-disk cost of the
+    # CoW merge at scale.
+    t = target.alias("t")
     s = events.alias("s")
-    cond = F.lit(True)
+    cond = F.col("t.is_current")
     for k in key:
         cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
     j = t.join(s, cond, "full_outer")
@@ -144,7 +152,9 @@ def merge_batch_rows(
 
     # Emit both rows in ONE pass over the join: a two-branch union would
     # make Spark execute the (dominant) join twice. array -> filter-null ->
-    # explode keeps the whole merge a single joined scan.
+    # explode keeps the whole merge a single joined scan. History rows are
+    # Row-1-only emissions (unmatched target side), so the output is
+    # history ∪ kept ∪ closed ∪ new-current from one operator tree.
     merged = j.select(
         F.explode(
             F.array_compact(
@@ -157,11 +167,14 @@ def merge_batch_rows(
     ).select("_r.*")
 
     out_cols = [f.name for f in table.schema.fields]
-    return history.select(*out_cols).unionByName(merged.select(*out_cols))
+    return merged.select(*out_cols)
 
 
 def current_state(table: LakeTable, snapshot=None) -> DataFrame:
-    """The live view: one row per surviving (conv_id, turn_idx)."""
-    return table.read(snapshot=snapshot).filter(F.col("is_current")).select(
-        *data_cols(table)
-    )
+    """The live view: one row per surviving (conv_id, turn_idx). Scans
+    only the current file family — the is_current filter stays as a
+    correctness belt (family pruning is an optimization, the filter is
+    the contract)."""
+    return table.read(snapshot=snapshot, family="current").filter(
+        F.col("is_current")
+    ).select(*data_cols(table))

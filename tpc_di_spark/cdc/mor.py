@@ -126,7 +126,7 @@ def current_state_mor(table: LakeTable) -> DataFrame:
     payload = [c for c in data_cols(table) if c not in key]
 
     base = (
-        table.read()
+        table.read(family="current")
         .filter(F.col("is_current"))
         .select(
             F.lit("I").alias("cdc_flag"),

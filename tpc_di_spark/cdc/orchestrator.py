@@ -93,9 +93,34 @@ class CdcOrchestrator:
     def _manifest_valid(self, manifest: dict, geometry: dict, table_path: str) -> bool:
         return manifest.get("geometry") == geometry and all(
             self.table.fs.exists(os.path.join(table_path, rel))
-            for fl in manifest["files"].values()
+            for fmap in (manifest["files"], manifest.get("hist_files", {}))
+            for fl in fmap.values()
             for rel in fl
         )
+
+    def _lineage_rows(
+        self, files: dict[str, list[str]], hist_delta: dict[str, list[str]]
+    ) -> dict[str, int]:
+        """Per-bucket rows written this batch, from parquet footers —
+        driver-side metadata, no Spark job. Footer reads are independent
+        ranged GETs, so they run on a thread pool: the serial loop was a
+        per-batch driver cost that did not shrink with executor count
+        (the family split doubled the file count and made it visible)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths: list[tuple[str, str]] = [
+            (b, os.path.join(self.table.path, rel))
+            for fmap in (files, hist_delta)
+            for b, fl in fmap.items()
+            for rel in fl
+        ]
+        out: dict[str, int] = {}
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            for b, n in pool.map(
+                lambda p: (p[0], self.table.fs.parquet_num_rows(p[1])), paths
+            ):
+                out[b] = out.get(b, 0) + n
+        return out
 
     def _maybe_evolve(self, events: DataFrame, batch_id: int) -> None:
         """Transactional evolve-then-apply: add payload columns the batch
@@ -160,6 +185,7 @@ class CdcOrchestrator:
             self.table.fs.makedirs(staging)
 
             all_files: dict[str, list[str]] = {}
+            all_hist: dict[str, list[str]] = {}
             group_metrics = []
             n_deduped = 0
             for gi, buckets in enumerate(groups):
@@ -169,27 +195,29 @@ class CdcOrchestrator:
                     manifest = json.loads(self.table.fs.read_text(manifest_path))
                     if self._manifest_valid(manifest, geometry, self.table.path):
                         all_files.update(manifest["files"])
+                        for b, fl in manifest.get("hist_files", {}).items():
+                            all_hist.setdefault(b, []).extend(fl)
                         group_metrics.append({**manifest["metrics"], "resumed": True})
                         n_deduped += manifest["metrics"].get("events", 0)
                         continue
                 g0 = time.monotonic()
                 src = deduped.filter(F.col(LakeTable.BUCKET_COL).isin(buckets))
-                tgt = self.table.with_bucket(self.table.read(buckets=buckets))
+                # Only the CURRENT file family joins the merge: history
+                # files are immutable closed versions the merge can never
+                # touch — skipping them halves-or-better the per-batch
+                # scan as history accumulates.
+                tgt = self.table.with_bucket(
+                    self.table.read(buckets=buckets, family="current")
+                )
                 merged = merge_batch_rows(
                     tgt.drop(LakeTable.BUCKET_COL), src.drop(LakeTable.BUCKET_COL),
                     batch_id, self.table,
                 )
                 tag = f"batch-{batch_id:06d}/group-{gi:03d}"
-                files = self.table.write_data_files(self.table.with_bucket(merged), tag)
-                # Per-bucket lineage (rows written per bucket this batch)
-                # from parquet footers — driver-side metadata, no Spark job.
-                lineage_rows = {
-                    b: sum(
-                        self.table.fs.parquet_num_rows(os.path.join(self.table.path, rel))
-                        for rel in fl
-                    )
-                    for b, fl in files.items()
-                }
+                files, hist_delta = self.table.write_data_files_split(
+                    self.table.with_bucket(merged), tag
+                )
+                lineage_rows = self._lineage_rows(files, hist_delta)
                 n_src = sum(bucket_counts[b] for b in buckets)
                 n_deduped += n_src
                 metrics = {
@@ -201,9 +229,16 @@ class CdcOrchestrator:
                 }
                 self.table.fs.replace_text(
                     manifest_path,
-                    json.dumps({"files": files, "metrics": metrics, "geometry": geometry}),
+                    json.dumps({
+                        "files": files,
+                        "hist_files": hist_delta,
+                        "metrics": metrics,
+                        "geometry": geometry,
+                    }),
                 )
                 all_files.update(files)
+                for b, fl in hist_delta.items():
+                    all_hist.setdefault(b, []).extend(fl)
                 group_metrics.append(metrics)
         finally:
             deduped.unpersist(blocking=False)
@@ -213,6 +248,7 @@ class CdcOrchestrator:
             mode="replace",
             replaced_buckets=touched,
             batch_id=batch_id,
+            append_hist_by_bucket=all_hist,
             summary={"operation": "cdc-apply", "events": n_events},
         )
         self.table.fs.rmtree(staging)
@@ -243,47 +279,56 @@ class CdcOrchestrator:
         manifest_path = os.path.join(staging, "group-000.done.json")
         geometry = self._geometry(None)
         resumed = False
+        hist_delta: dict[str, list[str]] = {}
         if self.table.fs.exists(manifest_path):
             manifest = json.loads(self.table.fs.read_text(manifest_path))
             if self._manifest_valid(manifest, geometry, self.table.path):
                 files = manifest["files"]
+                hist_delta = manifest.get("hist_files", {})
                 metrics = {**manifest["metrics"], "resumed": True}
                 resumed = True
         if not resumed:
             g0 = time.monotonic()
-            tgt = self.table.read()
+            # Current family only — history is append-only and immutable,
+            # so the merge neither reads nor rewrites it (the r02 shape
+            # re-read AND re-wrote every closed version every batch; at
+            # the 10^10 design point history is the bulk of the table).
+            tgt = self.table.read(family="current")
             merged = merge_batch_rows(
                 tgt, deduped.drop(LakeTable.BUCKET_COL), batch_id, self.table
             )
             tag = f"batch-{batch_id:06d}/group-000"
-            files = self.table.write_data_files(self.table.with_bucket(merged), tag)
-            lineage_rows = {
-                b: sum(
-                    self.table.fs.parquet_num_rows(os.path.join(self.table.path, rel))
-                    for rel in fl
-                )
-                for b, fl in files.items()
-            }
+            files, hist_delta = self.table.write_data_files_split(
+                self.table.with_bucket(merged), tag
+            )
+            lineage_rows = self._lineage_rows(files, hist_delta)
             metrics = {
                 "group": 0,
-                "buckets": sorted(int(b) for b in files),
+                "buckets": sorted(int(b) for b in set(files) | set(hist_delta)),
                 "events": None,
                 "rows_written": lineage_rows,
                 "secs": round(time.monotonic() - g0, 3),
             }
             self.table.fs.replace_text(
                 manifest_path,
-                json.dumps({"files": files, "metrics": metrics, "geometry": geometry}),
+                json.dumps({
+                    "files": files,
+                    "hist_files": hist_delta,
+                    "metrics": metrics,
+                    "geometry": geometry,
+                }),
             )
 
-        # Every pre-existing bucket was merged (and may have lost all its
-        # rows to deletes), so the replaced set is old ∪ new buckets.
+        # Every pre-existing CURRENT-family bucket was merged (and may
+        # have lost all its rows to deletes), so the replaced set is
+        # old ∪ new current buckets; history is append-only.
         replaced = set(self.table.snapshot.files) | set(files)
         snap = self.table.commit(
             new_files_by_bucket=files,
             mode="replace",
             replaced_buckets=replaced,
             batch_id=batch_id,
+            append_hist_by_bucket=hist_delta,
             summary={"operation": "cdc-apply", "events": n_events},
         )
         self.table.fs.rmtree(staging)
@@ -335,10 +380,12 @@ class CdcOrchestrator:
 
         t0 = _time.monotonic()
         deduped = lww_dedup(align_events(events, self.table), self.table.key_cols)
-        tgt = self.table.read()
+        tgt = self.table.read(family="current")
         merged = merge_batch_rows(tgt, deduped, orig_batch_id, self.table)
         tag = f"compact-delta-{orig_batch_id:06d}"
-        files = self.table.write_data_files(self.table.with_bucket(merged), tag)
+        files, hist_delta = self.table.write_data_files_split(
+            self.table.with_bucket(merged), tag
+        )
         replaced = set(self.table.snapshot.files) | set(files)
 
         props = dict(self.table.snapshot.properties)
@@ -351,6 +398,7 @@ class CdcOrchestrator:
             mode="replace",
             replaced_buckets=replaced,
             batch_id=None,
+            append_hist_by_bucket=hist_delta,
             summary={"operation": "compact-delta", "delta_batch": orig_batch_id},
             new_properties=props,
         )

@@ -26,24 +26,37 @@ def compact(
     """Rewrite every bucket holding more than ``max_files_per_bucket``
     files (or an explicit bucket list) into freshly clustered files."""
     snap = table.snapshot
+    n_files = {
+        b: len(snap.files.get(b, [])) + len(snap.hist_files.get(b, []))
+        for b in set(snap.files) | set(snap.hist_files)
+    }
     targets = (
         [str(b) for b in buckets]
         if buckets is not None
-        else [b for b, fl in snap.files.items() if len(fl) > max_files_per_bucket]
+        else [b for b, n in n_files.items() if n > max_files_per_bucket]
     )
     if not targets:
         return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
-    files_before = sum(len(snap.files[b]) for b in targets)
+    files_before = sum(n_files.get(b, 0) for b in targets)
     df = table.with_bucket(table.read(buckets=targets))
     tag = f"compact-{snap.snapshot_id:08d}-{int(time.time())}"
-    new_files = table.write_data_files(df, tag)
+    if "is_current" in df.columns:
+        # Family-aware rewrite: compaction must not merge immutable
+        # history rows back into current files (the merge-scan invariant).
+        new_files, new_hist = table.write_data_files_split(df, tag)
+    else:
+        new_files, new_hist = table.write_data_files(df, tag), {}
     table.commit(
         new_files_by_bucket=new_files,
         mode="replace",
         replaced_buckets=targets,
+        append_hist_by_bucket=new_hist,
+        replace_hist=True,
         summary={"operation": "compact", "buckets": len(targets)},
     )
-    files_after = sum(len(fl) for fl in new_files.values())
+    files_after = sum(len(fl) for fl in new_files.values()) + sum(
+        len(fl) for fl in new_hist.values()
+    )
     return {
         "compacted_buckets": len(targets),
         "files_before": files_before,
@@ -80,8 +93,9 @@ def expire_snapshots(
     live: set[str] = set()
     for sid in keep_ids:
         s = table.read_snapshot(sid)
-        for fl in s.files.values():
-            live.update(fl)
+        for fmap in (s.files, s.hist_files):
+            for fl in fmap.values():
+                live.update(fl)
         # Pending merge-on-read delta files are referenced from snapshot
         # properties, not the base file map — they are live too.
         for b in s.properties.get("delta_batches", []):
@@ -147,27 +161,42 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     ).cast("int")
     tag = f"rebucket-{snap.snapshot_id:08d}-to-{new_num_buckets}"
     # Temporarily present the new bucket count to the writer so the
-    # clustering exchange targets N' partitions.
+    # clustering exchange targets N' partitions; family-split so the
+    # current/history invariant survives the re-bucketing.
     df_b = df.withColumn(LakeTable.BUCKET_COL, new_bucket)
     out_dir = os.path.join(table.path, "data", tag)
     if table.fs.exists(out_dir):
         table.fs.rmtree(out_dir)
+    split = "is_current" in df_b.columns
+    writer = df_b
+    part_cols = [LakeTable.BUCKET_COL]
+    if split:
+        writer = df_b.withColumn(
+            "_ic", F.coalesce(F.col("is_current"), F.lit(True)).cast("string")
+        )
+        part_cols.append("_ic")
     (
-        df_b.repartition(new_num_buckets, F.col(LakeTable.BUCKET_COL))
+        writer.repartition(new_num_buckets, F.col(LakeTable.BUCKET_COL))
         .write.mode("overwrite")
-        .partitionBy(LakeTable.BUCKET_COL)
+        .partitionBy(*part_cols)
         .parquet(out_dir)
     )
-    new_files = table._list_bucket_files(out_dir)
+    if split:
+        new_files, new_hist = table._split_family_listing(out_dir)
+    else:
+        new_files, new_hist = table._list_bucket_files(out_dir), {}
     table.commit(
         new_files_by_bucket=new_files,
         mode="replace",
-        replaced_buckets=set(snap.files) | set(new_files),
+        replaced_buckets=set(snap.files) | set(snap.hist_files) | set(new_files) | set(new_hist),
+        append_hist_by_bucket=new_hist,
+        replace_hist=True,
         summary={"operation": "rebucket", "from": snap.num_buckets, "to": new_num_buckets},
         new_num_buckets=new_num_buckets,
     )
     return {
         "rebucketed": True,
         "num_buckets": new_num_buckets,
-        "files": sum(len(v) for v in new_files.values()),
+        "files": sum(len(v) for v in new_files.values())
+        + sum(len(v) for v in new_hist.values()),
     }

@@ -17,6 +17,14 @@ built from first principles with the same guarantees):
   keys hash into; untouched buckets carry their old files forward by
   reference. At 10^10 rows a batch touching 1% of conversations rewrites
   ~1% of the table — this is what makes the design scale.
+- **Current/history file families**: every bucket keeps its live SCD2
+  rows (``is_current=true``) and its closed versions in SEPARATE files
+  (a split ``partitionBy(_bucket, _ic)`` write). Closed versions are
+  immutable, so the history family is append-only: a merge scans and
+  rewrites only the current family and appends the versions it closes.
+  At the 10^10-row design point history dwarfs the live set — without
+  the split every batch re-read and re-wrote all of it; with it,
+  per-batch I/O is O(live set + batch), not O(full lineage).
 - **Key-hash bucketing = salting**: rows are bucketed by
   ``pmod(xxhash64(conv_id, turn_idx), B)``. Hashing the *full* business key
   (not just ``conv_id``) is the salting strategy for hot conversations —
@@ -74,6 +82,10 @@ class Snapshot:
     committed_batches: list[int]
     summary: dict = field(default_factory=dict)
     properties: dict = field(default_factory=dict)
+    # History file family (bucket -> paths): immutable closed SCD2
+    # versions, append-only — a CDC merge never rewrites them (see
+    # LakeTable docstring, "current/history file families").
+    hist_files: dict[str, list[str]] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -88,6 +100,7 @@ class Snapshot:
             "key_cols": self.key_cols,
             "bucket_cols": self.bucket_cols,
             "files": self.files,
+            "hist_files": self.hist_files,
             "committed_batches": self.committed_batches,
             "summary": self.summary,
             "properties": self.properties,
@@ -106,6 +119,7 @@ class Snapshot:
             committed_batches=list(d.get("committed_batches", [])),
             summary=d.get("summary", {}),
             properties=d.get("properties", {}),
+            hist_files={k: list(v) for k, v in d.get("hist_files", {}).items()},
         )
 
 
@@ -247,22 +261,42 @@ class LakeTable:
         self,
         buckets: Iterable[int] | None = None,
         snapshot: Snapshot | None = None,
+        family: str = "all",
     ) -> DataFrame:
         """Read the table (optionally bucket-pruned / time-travelled).
 
         Bucket pruning is the engine's partition pruning: a MERGE whose
         source touches 3 of 128 buckets reads 3/128ths of the table.
+
+        ``family`` prunes by FILE FAMILY: ``"current"`` scans only the
+        current-row files, ``"history"`` only the immutable closed-version
+        files, ``"all"`` both. The invariant (history files never hold an
+        ``is_current=true`` row — enforced by the split write below) is
+        what lets the CDC merge and live-state reads skip the history
+        entirely: at the 10^10-row design point history dwarfs the live
+        set, and scanning it per batch was the dominant wasted I/O.
         """
         snap = snapshot or self.snapshot
         schema = snap.schema
-        wanted = (
-            set(snap.files.keys())
-            if buckets is None
-            else {str(b) for b in buckets} & set(snap.files.keys())
-        )
-        paths = [
-            os.path.join(self.path, rel) for b in sorted(wanted) for rel in snap.files[b]
-        ]
+        maps: list[dict[str, list[str]]] = []
+        if family in ("all", "current"):
+            maps.append(snap.files)
+        if family in ("all", "history"):
+            maps.append(snap.hist_files)
+        if family not in ("all", "current", "history"):
+            raise ValueError(f"unknown file family {family!r}")
+        paths = []
+        for fmap in maps:
+            wanted = (
+                set(fmap.keys())
+                if buckets is None
+                else {str(b) for b in buckets} & set(fmap.keys())
+            )
+            paths.extend(
+                os.path.join(self.path, rel)
+                for b in sorted(wanted)
+                for rel in fmap[b]
+            )
         if not paths:
             return self.spark.createDataFrame([], schema)
         # Explicit schema => old files null-fill evolved columns.
@@ -294,6 +328,57 @@ class LakeTable:
         )
         return self._list_bucket_files(out_dir)
 
+    def write_data_files_split(
+        self, df_with_bucket: DataFrame, commit_tag: str
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+        """Write ``df`` split into the two file families in ONE pass:
+        rows with ``is_current=false`` land in history files, everything
+        else in current files (``partitionBy(_bucket, _ic)`` on a COPY of
+        the flag, so ``is_current`` itself stays a data column readable
+        without partition discovery). Returns ``(current, history)``
+        bucket->paths maps.
+
+        This is what keeps SCD2 history append-only on disk: closed
+        versions are written once, in the batch that closes them, and no
+        later merge touches those bytes again.
+        """
+        out_dir = os.path.join(self.path, _DATA, commit_tag)
+        if self.fs.exists(out_dir):
+            self.fs.rmtree(out_dir)
+        ic = F.coalesce(F.col("is_current"), F.lit(True)).cast("string")
+        (
+            df_with_bucket.withColumn("_ic", ic)
+            .repartition(self.num_buckets, F.col(self.BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL, "_ic")
+            .parquet(out_dir)
+        )
+        return self._split_family_listing(out_dir)
+
+    def _split_family_listing(
+        self, out_dir: str
+    ) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
+        current: dict[str, list[str]] = {}
+        history: dict[str, list[str]] = {}
+        for entry in self.fs.listdir(out_dir):
+            if not entry.startswith(f"{self.BUCKET_COL}="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            for sub in self.fs.listdir(bdir):
+                if not sub.startswith("_ic="):
+                    continue
+                fam = history if sub == "_ic=false" else current
+                sdir = os.path.join(bdir, sub)
+                rels = [
+                    os.path.relpath(os.path.join(sdir, f), self.path)
+                    for f in self.fs.listdir(sdir)
+                    if f.endswith(".parquet")
+                ]
+                if rels:
+                    fam.setdefault(bucket, []).extend(rels)
+        return current, history
+
     def _list_bucket_files(self, out_dir: str) -> dict[str, list[str]]:
         files: dict[str, list[str]] = {}
         for entry in self.fs.listdir(out_dir):
@@ -311,8 +396,19 @@ class LakeTable:
         return files
 
     def append(self, df: DataFrame, batch_id: int | None = None, commit_tag: str | None = None) -> Snapshot:
-        """Bulk append (the historical-load path, SURVEY S7)."""
+        """Bulk append (the historical-load path, SURVEY S7). Rows carrying
+        lineage are family-split on write so the current/history invariant
+        holds for bulk-loaded data too."""
         tag = commit_tag or f"append-{uuid.uuid4().hex[:12]}"
+        if "is_current" in df.columns:
+            cur, hist = self.write_data_files_split(self.with_bucket(df), tag)
+            return self.commit(
+                new_files_by_bucket=cur,
+                mode="append",
+                batch_id=batch_id,
+                append_hist_by_bucket=hist,
+                summary={"operation": "append"},
+            )
         new_files = self.write_data_files(self.with_bucket(df), tag)
         return self.commit(
             new_files_by_bucket=new_files,
@@ -331,6 +427,8 @@ class LakeTable:
         summary: dict | None = None,
         new_properties: dict | None = None,
         new_num_buckets: int | None = None,
+        append_hist_by_bucket: dict[str, list[str]] | None = None,
+        replace_hist: bool = False,
     ) -> Snapshot:
         """Produce the next snapshot and atomically flip VERSION to it.
 
@@ -338,19 +436,31 @@ class LakeTable:
         mode='replace' -> buckets in ``replaced_buckets`` get exactly the new
                           file lists (copy-on-write MERGE); all other buckets
                           carry forward untouched.
+
+        The history family is APPEND-ONLY under both modes
+        (``append_hist_by_bucket`` — a CDC merge only ever adds newly
+        closed versions); maintenance rewrites (compact/rebucket) pass
+        ``replace_hist=True`` to swap the replaced buckets' history files
+        for the freshly clustered set instead.
         """
         parent = self.snapshot
         files = {b: list(v) for b, v in parent.files.items()}
+        hist = {b: list(v) for b, v in parent.hist_files.items()}
         if mode == "append":
             for b, fl in new_files_by_bucket.items():
                 files.setdefault(b, []).extend(fl)
         elif mode == "replace":
-            for b in {str(x) for x in (replaced_buckets or new_files_by_bucket.keys())}:
+            replaced = {str(x) for x in (replaced_buckets or new_files_by_bucket.keys())}
+            for b in replaced:
                 files.pop(b, None)
+                if replace_hist:
+                    hist.pop(b, None)
             for b, fl in new_files_by_bucket.items():
                 files[b] = list(fl)
         else:
             raise ValueError(f"unknown commit mode {mode!r}")
+        for b, fl in (append_hist_by_bucket or {}).items():
+            hist.setdefault(b, []).extend(fl)
 
         committed = list(parent.committed_batches)
         if batch_id is not None:
@@ -367,6 +477,7 @@ class LakeTable:
             key_cols=parent.key_cols,
             bucket_cols=parent.bucket_cols,
             files=files,
+            hist_files=hist,
             committed_batches=committed,
             summary={**(summary or {}), "batch_id": batch_id},
             properties=parent.properties if new_properties is None else new_properties,

@@ -65,6 +65,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # FileOutputCommitter v2: task-side (parallel) output promotion
+        # instead of v1's serial driver-side rename of every file at job
+        # commit. The current/history family split doubles files per
+        # write, and v1's O(files) driver loop was a fixed cost that
+        # throttled exactly the high-core side (measured: 8-core TI batch
+        # 12.8s -> 10.0s). Safe here: every write lands in a fresh
+        # commit-tag directory that only becomes visible via the atomic
+        # snapshot commit, so v2's weaker mid-job visibility guarantees
+        # are irrelevant — the table's atomicity comes from the VERSION
+        # flip, not the committer.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
