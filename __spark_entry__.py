@@ -1664,6 +1664,69 @@ WHERE cosine >= {_NEARDUP_THRESHOLD} AND query_id < neighbor_id
 
 
 # ---------------------------------------------------------------------------
+# Q47 — incremental changelog read (the "binlog OUT" side of the engine):
+# replay three CDC batches (events split deterministically by
+# event_id div 7 mod 3 — decorrelated from the flag/role modulos), then
+# read the row versions CREATED by batch 2 through lake/changelog.py's
+# file-skipping incremental reader (per-file batch_id footer stats). The
+# oracle recomputes the same set in pure SQL: batch-2 LWW winners
+# (I/U), closed by the batch-3 winner where one exists. end_ts is
+# emitted as a formatted string (the 9999 sentinel overflows pandas ns
+# timestamps).
+# ---------------------------------------------------------------------------
+
+def q47_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.lake.changelog import rows_created_in
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 3 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q47_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    for b in (1, 2, 3):
+        orch.apply_batch(ev.filter(F.col("_b") == b).drop("_b"), batch_id=b)
+    return rows_created_in(table, 2).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "ts",
+        "is_current",
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts_s"),
+    )
+
+
+Q47_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 3 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+w2 AS (SELECT * FROM w WHERE b = 2 AND rn = 1 AND cdc_flag <> 'D'),
+w3 AS (SELECT * FROM w WHERE b = 3 AND rn = 1)
+SELECT w2.conv_id, w2.turn_idx, w2.role, w2.text, w2.ts,
+       w3.conv_id IS NULL AS is_current,
+       coalesce(strftime(w3.ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS end_ts_s
+FROM w2 LEFT JOIN w3 ON w2.conv_id = w3.conv_id AND w2.turn_idx = w3.turn_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q44-Q46 — the reference's file-format intake, contract-exercised
 # (VERDICT r02 #4; S1/S2/S4/S6 were pytest-only): each query materializes
 # a driver table to deterministic text sidecars (sources/
@@ -1835,6 +1898,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_pipe_scan": q44_pipe_scan,
     "q45_fixed_width": q45_fixed_width,
     "q46_csv_header_scan": q46_csv_header_scan,
+    "q47_changelog": q47_changelog,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1888,6 +1952,7 @@ _ORACLES: dict[str, str] = {
     "q44_pipe_scan": Q44_SQL,
     "q45_fixed_width": Q45_SQL,
     "q46_csv_header_scan": Q46_SQL,
+    "q47_changelog": Q47_SQL,
 }
 
 

@@ -100,27 +100,41 @@ class CdcOrchestrator:
 
     def _lineage_rows(
         self, files: dict[str, list[str]], hist_delta: dict[str, list[str]]
-    ) -> dict[str, int]:
-        """Per-bucket rows written this batch, from parquet footers —
-        driver-side metadata, no Spark job. Footer reads are independent
-        ranged GETs, so they run on a thread pool: the serial loop was a
-        per-batch driver cost that did not shrink with executor count
-        (the family split doubled the file count and made it visible)."""
+    ) -> tuple[dict[str, int], dict[str, list]]:
+        """Per-bucket rows written this batch AND per-file batch_id
+        [min, max] ranges (the changelog data-skipping stats), from
+        parquet footers — driver-side metadata, no Spark job. Footer
+        reads are independent ranged GETs, so they run on a thread pool:
+        the serial loop was a per-batch driver cost that did not shrink
+        with executor count (the family split doubled the file count and
+        made it visible)."""
         from concurrent.futures import ThreadPoolExecutor
 
         paths: list[tuple[str, str]] = [
-            (b, os.path.join(self.table.path, rel))
+            (b, rel)
             for fmap in (files, hist_delta)
             for b, fl in fmap.items()
             for rel in fl
         ]
-        out: dict[str, int] = {}
+
+        def meta(p: tuple[str, str]):
+            b, rel = p
+            full = os.path.join(self.table.path, rel)
+            return (
+                b,
+                rel,
+                self.table.fs.parquet_num_rows(full),
+                self.table.fs.parquet_column_minmax(full, "batch_id"),
+            )
+
+        rows: dict[str, int] = {}
+        stats: dict[str, list] = {}
         with ThreadPoolExecutor(max_workers=16) as pool:
-            for b, n in pool.map(
-                lambda p: (p[0], self.table.fs.parquet_num_rows(p[1])), paths
-            ):
-                out[b] = out.get(b, 0) + n
-        return out
+            for b, rel, n, mm in pool.map(meta, paths):
+                rows[b] = rows.get(b, 0) + n
+                if mm is not None:
+                    stats[rel] = mm
+        return rows, stats
 
     def _maybe_evolve(self, events: DataFrame, batch_id: int) -> None:
         """Transactional evolve-then-apply: add payload columns the batch
@@ -186,6 +200,7 @@ class CdcOrchestrator:
 
             all_files: dict[str, list[str]] = {}
             all_hist: dict[str, list[str]] = {}
+            all_stats: dict[str, list] = {}
             group_metrics = []
             n_deduped = 0
             for gi, buckets in enumerate(groups):
@@ -197,6 +212,7 @@ class CdcOrchestrator:
                         all_files.update(manifest["files"])
                         for b, fl in manifest.get("hist_files", {}).items():
                             all_hist.setdefault(b, []).extend(fl)
+                        all_stats.update(manifest.get("file_stats", {}))
                         group_metrics.append({**manifest["metrics"], "resumed": True})
                         n_deduped += manifest["metrics"].get("events", 0)
                         continue
@@ -217,7 +233,7 @@ class CdcOrchestrator:
                 files, hist_delta = self.table.write_data_files_split(
                     self.table.with_bucket(merged), tag
                 )
-                lineage_rows = self._lineage_rows(files, hist_delta)
+                lineage_rows, fstats = self._lineage_rows(files, hist_delta)
                 n_src = sum(bucket_counts[b] for b in buckets)
                 n_deduped += n_src
                 metrics = {
@@ -232,6 +248,7 @@ class CdcOrchestrator:
                     json.dumps({
                         "files": files,
                         "hist_files": hist_delta,
+                        "file_stats": fstats,
                         "metrics": metrics,
                         "geometry": geometry,
                     }),
@@ -239,6 +256,7 @@ class CdcOrchestrator:
                 all_files.update(files)
                 for b, fl in hist_delta.items():
                     all_hist.setdefault(b, []).extend(fl)
+                all_stats.update(fstats)
                 group_metrics.append(metrics)
         finally:
             deduped.unpersist(blocking=False)
@@ -249,6 +267,7 @@ class CdcOrchestrator:
             replaced_buckets=touched,
             batch_id=batch_id,
             append_hist_by_bucket=all_hist,
+            new_file_stats=all_stats,
             summary={"operation": "cdc-apply", "events": n_events},
         )
         self.table.fs.rmtree(staging)
@@ -280,11 +299,13 @@ class CdcOrchestrator:
         geometry = self._geometry(None)
         resumed = False
         hist_delta: dict[str, list[str]] = {}
+        fstats: dict[str, list] = {}
         if self.table.fs.exists(manifest_path):
             manifest = json.loads(self.table.fs.read_text(manifest_path))
             if self._manifest_valid(manifest, geometry, self.table.path):
                 files = manifest["files"]
                 hist_delta = manifest.get("hist_files", {})
+                fstats = manifest.get("file_stats", {})
                 metrics = {**manifest["metrics"], "resumed": True}
                 resumed = True
         if not resumed:
@@ -301,7 +322,7 @@ class CdcOrchestrator:
             files, hist_delta = self.table.write_data_files_split(
                 self.table.with_bucket(merged), tag
             )
-            lineage_rows = self._lineage_rows(files, hist_delta)
+            lineage_rows, fstats = self._lineage_rows(files, hist_delta)
             metrics = {
                 "group": 0,
                 "buckets": sorted(int(b) for b in set(files) | set(hist_delta)),
@@ -314,6 +335,7 @@ class CdcOrchestrator:
                 json.dumps({
                     "files": files,
                     "hist_files": hist_delta,
+                    "file_stats": fstats,
                     "metrics": metrics,
                     "geometry": geometry,
                 }),
@@ -329,6 +351,7 @@ class CdcOrchestrator:
             replaced_buckets=replaced,
             batch_id=batch_id,
             append_hist_by_bucket=hist_delta,
+            new_file_stats=fstats,
             summary={"operation": "cdc-apply", "events": n_events},
         )
         self.table.fs.rmtree(staging)

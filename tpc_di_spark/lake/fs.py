@@ -90,6 +90,31 @@ class TableFS:
         expiry's min-age orphan guard."""
         raise NotImplementedError
 
+    def parquet_column_minmax(self, path: str, col: str) -> list | None:
+        """[min, max] of ``col`` across the file's row groups, from footer
+        statistics only (ranged GET on object stores). None when the
+        column is absent or carries no stats — callers must treat that as
+        "range unknown, cannot prune"."""
+        raise NotImplementedError
+
+
+def _pyarrow_minmax(path: str, col: str) -> list | None:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    schema = md.schema.to_arrow_schema()
+    if col not in schema.names:
+        return None
+    idx = schema.names.index(col)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else [lo, hi]
+
 
 class LocalFS(TableFS):
     """POSIX implementation: rename-based atomic replace."""
@@ -138,6 +163,9 @@ class LocalFS(TableFS):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def parquet_column_minmax(self, path: str, col: str) -> list | None:
+        return _pyarrow_minmax(path, col)
 
 
 class ObjectStoreFS(TableFS):
@@ -237,3 +265,6 @@ class ObjectStoreFS(TableFS):
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def parquet_column_minmax(self, path: str, col: str) -> list | None:
+        return _pyarrow_minmax(path, col)

@@ -86,6 +86,13 @@ class Snapshot:
     # versions, append-only — a CDC merge never rewrites them (see
     # LakeTable docstring, "current/history file families").
     hist_files: dict[str, list[str]] = field(default_factory=dict)
+    # Per-file [min, max] of the batch_id lineage column, from parquet
+    # footer stats at write time — the engine's data-skipping index for
+    # incremental changelog reads (lake/changelog.py). A file absent here
+    # has unknown range and is always scanned. (At 10^10 rows this map
+    # moves into per-bucket manifest files, Iceberg-style; the snapshot
+    # JSON holds it directly at bench scale.)
+    file_stats: dict[str, list] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -101,6 +108,7 @@ class Snapshot:
             "bucket_cols": self.bucket_cols,
             "files": self.files,
             "hist_files": self.hist_files,
+            "file_stats": self.file_stats,
             "committed_batches": self.committed_batches,
             "summary": self.summary,
             "properties": self.properties,
@@ -120,6 +128,7 @@ class Snapshot:
             summary=d.get("summary", {}),
             properties=d.get("properties", {}),
             hist_files={k: list(v) for k, v in d.get("hist_files", {}).items()},
+            file_stats=dict(d.get("file_stats", {})),
         )
 
 
@@ -429,6 +438,7 @@ class LakeTable:
         new_num_buckets: int | None = None,
         append_hist_by_bucket: dict[str, list[str]] | None = None,
         replace_hist: bool = False,
+        new_file_stats: dict[str, list] | None = None,
     ) -> Snapshot:
         """Produce the next snapshot and atomically flip VERSION to it.
 
@@ -469,6 +479,18 @@ class LakeTable:
                 return parent
             committed.append(batch_id)
 
+        # Data-skipping stats ride the snapshot: merge the new files'
+        # batch_id ranges, then prune to files still referenced (replaced
+        # buckets drop their entries with their files).
+        referenced = {rel for fl in files.values() for rel in fl} | {
+            rel for fl in hist.values() for rel in fl
+        }
+        stats = {
+            rel: v
+            for rel, v in {**parent.file_stats, **(new_file_stats or {})}.items()
+            if rel in referenced and v is not None
+        }
+
         snap = Snapshot(
             snapshot_id=parent.snapshot_id + 1,
             parent_id=parent.snapshot_id,
@@ -478,6 +500,7 @@ class LakeTable:
             bucket_cols=parent.bucket_cols,
             files=files,
             hist_files=hist,
+            file_stats=stats,
             committed_batches=committed,
             summary={**(summary or {}), "batch_id": batch_id},
             properties=parent.properties if new_properties is None else new_properties,
