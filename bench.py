@@ -63,7 +63,11 @@ SCALE_TURNS = 50
 # query suite fit the bench budget — r02/r03 showed a single draw samples
 # one noise window and that becomes the round's number.
 SCALE_INCR = int(os.environ.get("BENCH_CDC_INCR", "2000000"))
-BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "600"))
+# 700s: room for a third pair draw in slow windows. Safe against a
+# harsher external timeout because a complete result line is emitted
+# after every stage AND every 6 suite queries — truncation costs at most
+# a few per-query timings, never the CDC numbers.
+BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "700"))
 DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
 # Reserve for the post-pair stages when gating extra draws: the query
 # suite must always run (the driver records per-query timings; measured
@@ -85,7 +89,9 @@ SF_OVERRIDES = {
 }
 
 
-def run_query_suite(cores: int) -> tuple[dict[str, float], dict[str, float]]:
+def run_query_suite(
+    cores: int, on_progress=None
+) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as entrymod
     from tpc_di_spark.session import get_spark
 
@@ -98,7 +104,7 @@ def run_query_suite(cores: int) -> tuple[dict[str, float], dict[str, float]]:
     ).count().write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     overridden: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for i, (name, fn) in enumerate(entrymod.queries().items()):
         sf_dir = SF_OVERRIDES.get(name, SF_DIR)
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -107,6 +113,13 @@ def run_query_suite(cores: int) -> tuple[dict[str, float], dict[str, float]]:
             overridden[name] = secs
         else:
             timings[name] = secs
+        # Re-emit the full result line every few queries: if an external
+        # timeout kills the bench mid-suite, the last complete line still
+        # carries every query timed so far (r03 dry run: a degraded
+        # window pushed the suite past the timeout and a queries-empty
+        # line was all that survived).
+        if on_progress is not None and (i + 1) % 6 == 0:
+            on_progress(timings, overridden)
     spark.stop()
     return timings, overridden
 
@@ -248,7 +261,10 @@ def main() -> None:
         emit()
 
     # ---- Stage 3: query suite (always runs; the driver needs timings).
-    queries, overridden = run_query_suite(CPUS)
+    def suite_progress(t, o):
+        _emit(t, o, low, high, eff, all_lo, all_hi, rounds, mor)
+
+    queries, overridden = run_query_suite(CPUS, on_progress=suite_progress)
     _progress("query suite done", t_start)
     emit()
 
