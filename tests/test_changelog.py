@@ -113,6 +113,27 @@ def test_changed_keys_since_checkpoint(spark, tmp_path):
     assert changed_keys_since(table, after_batch_id=3).count() == 0
 
 
+def test_rows_closed_in_survives_compaction(spark, tmp_path):
+    """After a compaction rewrites the history family, the closed-in-B
+    read falls back to the committing snapshot (time travel) — same
+    result until that snapshot is expired."""
+    from tpc_di_spark.lake.maintenance import compact
+
+    table = _replayed(spark, tmp_path)
+    before = {
+        (r.conv_id, r.turn_idx): r.text for r in rows_closed_in(table, 3).collect()
+    }
+    stats = compact(table, max_files_per_bucket=0)  # force-rewrite everything
+    assert stats["compacted_buckets"] > 0
+    # current snapshot no longer carries batch-3-tagged hist files...
+    assert not hist_files_of_commit_tag(table, 3)
+    # ...but the changelog read still answers via the committing snapshot.
+    after = {
+        (r.conv_id, r.turn_idx): r.text for r in rows_closed_in(table, 3).collect()
+    }
+    assert after == before == {("a", 0): "a0v2", ("a", 1): "a1v1"}
+
+
 def test_changelog_consistent_after_resume(spark, tmp_path):
     """file_stats survive the checkpoint-manifest resume path: a batch
     killed after its write and re-applied must still record stats."""

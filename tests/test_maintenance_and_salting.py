@@ -21,6 +21,49 @@ def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
     assert_pdf_equal(before, after, ["conv_id", "turn_idx", "text"])
 
 
+def test_auto_compact_policy_bounds_file_growth(spark, tmp_path):
+    """The orchestrator's opt-in compaction policy: the append-only
+    history family adds a file per touched bucket per batch; with the
+    policy on, per-bucket file counts stay bounded and the final state +
+    full lineage match an uncompacted replay exactly."""
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.generator import historical_batch, incremental_batch
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    def replay(path, **kw):
+        table = bootstrap_table(spark, str(path), TRANSCRIPT_SCHEMA, num_buckets=4)
+        orch = CdcOrchestrator(table, buckets_per_group=4, **kw)
+        recs = [orch.apply_batch(historical_batch(spark, 30, 6), 1)]
+        for b in range(2, 6):
+            recs.append(
+                orch.apply_batch(incremental_batch(spark, b, 250, 30, 6, skew=2.0), b)
+            )
+        return table, recs
+
+    t_plain, _ = replay(tmp_path / "plain")
+    t_auto, recs = replay(tmp_path / "auto", auto_compact_files_per_bucket=3)
+
+    snap = t_auto.snapshot
+    per_bucket = {
+        b: len(snap.files.get(b, [])) + len(snap.hist_files.get(b, []))
+        for b in set(snap.files) | set(snap.hist_files)
+    }
+    assert any("auto_compact" in r for r in recs), "policy fired at least once"
+    assert max(per_bucket.values()) <= 4, f"file growth unbounded: {per_bucket}"
+
+    # correctness unchanged: live state AND full lineage identical
+    assert_pdf_equal(
+        current_state(t_auto).toPandas(),
+        current_state(t_plain).toPandas(),
+        ["conv_id", "turn_idx"],
+    )
+    lineage_cols = ["conv_id", "turn_idx", "text", "batch_id", "is_current"]
+    a = t_auto.read().select(*lineage_cols).toPandas()
+    p = t_plain.read().select(*lineage_cols).toPandas()
+    assert_pdf_equal(a, p, ["conv_id", "turn_idx", "batch_id", "text"])
+
+
 def test_expire_snapshots_removes_orphans(spark, tmp_path):
     import glob
 

@@ -57,6 +57,7 @@ class CdcOrchestrator:
         buckets_per_group: int = 8,
         count_input: bool = True,
         messages_log=None,
+        auto_compact_files_per_bucket: int = 0,
     ):
         self.table = table
         self.spark = table.spark
@@ -70,6 +71,14 @@ class CdcOrchestrator:
         # rows" insert, `Historical/prospect.py:158-163`). Opt-in — the
         # metrics JSON remains the zero-extra-job default.
         self.messages_log = messages_log
+        # Opt-in compaction policy: after each committed batch, buckets
+        # whose TOTAL file count (current + history) exceeds this are
+        # rewritten by lake.maintenance.compact. The history family is
+        # append-only, so every batch adds one hist file per touched
+        # bucket — without a policy, file count grows linearly with batch
+        # count and the scan's file-open overhead with it. 0 disables
+        # (callers schedule compaction themselves, like the bench).
+        self.auto_compact_files_per_bucket = auto_compact_files_per_bucket
 
     # ------------------------------------------------------------ utilities
     def _staging_dir(self, batch_id: int) -> str:
@@ -135,6 +144,22 @@ class CdcOrchestrator:
                 if mm is not None:
                     stats[rel] = mm
         return rows, stats
+
+    def _maybe_auto_compact(self, record: dict) -> None:
+        """Post-commit compaction policy (see __init__): bounds per-bucket
+        file counts under the append-only history family. Runs OUTSIDE the
+        batch's atomic commit — a crash here loses nothing (the batch is
+        already durable; compaction is its own snapshot and re-triggers
+        next batch)."""
+        if self.auto_compact_files_per_bucket <= 0:
+            return
+        from tpc_di_spark.lake.maintenance import compact
+
+        stats = compact(
+            self.table, max_files_per_bucket=self.auto_compact_files_per_bucket
+        )
+        if stats["compacted_buckets"]:
+            record["auto_compact"] = stats
 
     def _maybe_evolve(self, events: DataFrame, batch_id: int) -> None:
         """Transactional evolve-then-apply: add payload columns the batch
@@ -284,6 +309,7 @@ class CdcOrchestrator:
                 round((n_events or n_deduped) / elapsed, 1) if elapsed > 0 else None
             ),
         }
+        self._maybe_auto_compact(record)
         self.table.fs.makedirs(os.path.dirname(self._metrics_path(batch_id)))
         self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
         self._emit_status(record)
@@ -366,6 +392,7 @@ class CdcOrchestrator:
             "secs": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed, 1) if n_events and elapsed > 0 else None,
         }
+        self._maybe_auto_compact(record)
         self.table.fs.makedirs(os.path.dirname(self._metrics_path(batch_id)))
         self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
         self._emit_status(record)

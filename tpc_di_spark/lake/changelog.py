@@ -104,9 +104,22 @@ def rows_closed_in(
 ) -> DataFrame:
     """The versions ``batch_id`` expired (before-images of updates and
     deletes): the history files its commit appended. Pure file
-    selection — no scan of anything else."""
+    selection — no scan of anything else.
+
+    A later compaction may rewrite those history files under its own
+    tag; in that case this falls back to the SNAPSHOT that committed the
+    batch (time travel — the original files stay on disk, referenced by
+    that snapshot, until ``expire_snapshots`` drops it). The changelog
+    retention window therefore equals the snapshot retention window,
+    exactly Iceberg's incremental-read rule."""
     snap = snapshot or table.snapshot
     rels = hist_files_of_commit_tag(table, batch_id, snap)
+    if not rels and batch_id in snap.committed_batches:
+        for h in reversed(table.history()):
+            if h["summary"].get("batch_id") == batch_id:
+                committing = table.read_snapshot(h["snapshot_id"])
+                rels = hist_files_of_commit_tag(table, batch_id, committing)
+                break
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
@@ -131,7 +144,15 @@ def changed_keys_since(
     of the stats) OR a version was CLOSED after it (a pure delete creates
     no new version, so the closed row still carries its original
     batch_id; those are found by the history files' closing-batch commit
-    tags — pure file selection)."""
+    tags — pure file selection).
+
+    RETENTION CAVEAT: a compaction that has already rewritten a closing
+    batch's history files erases its path tag from the current snapshot;
+    delete-only touches from before the last compaction then require
+    reading per-batch via ``rows_closed_in`` (which falls back to the
+    committing snapshot). Consumers should checkpoint at least as often
+    as they compact — the same retention contract as Iceberg incremental
+    reads."""
     snap = snapshot or table.snapshot
     created_rels = [
         rel
