@@ -1727,6 +1727,69 @@ FROM w2 LEFT JOIN w3 ON w2.conv_id = w3.conv_id AND w2.turn_idx = w3.turn_idx
 
 
 # ---------------------------------------------------------------------------
+# Q48 — near-dup CLUSTER assignment + keeper selection: connected
+# components over the portable family's verified near-dup pairs via
+# fixed-round min-label propagation (operators/dedup.dedup_clusters).
+# This is the step that actually drops duplicates in a training-data
+# pipeline once candidates are verified. The oracle unrolls the same
+# rounds in SQL, so labels are bit-identical.
+# ---------------------------------------------------------------------------
+
+_CC_ITERS = 4
+
+
+def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, "doc_id", "text", n=3, num_hashes=_MH_HASHES, hash_fn="md5"
+    )
+    cands = lsh_candidate_pairs(
+        sigs, bands=_MH_BANDS, rows_per_band=_MH_ROWS, hash_fn="md5"
+    )
+    true_pairs = minhash_jaccard_estimate(sigs, cands).filter(
+        F.col("jaccard_est") >= _MH_COVER_THRESH
+    )
+    return dedup_clusters(
+        d.select("doc_id"), "doc_id", true_pairs, iters=_CC_ITERS
+    )
+
+
+def _q48_sql() -> str:
+    rounds = ""
+    prev = "l0"
+    for i in range(1, _CC_ITERS + 1):
+        rounds += f""",
+l{i} AS (
+  SELECT l.u, least(l.label, coalesce(m.nmin, l.label)) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT e.u, min(ln.label) AS nmin
+    FROM edges e JOIN {prev} ln ON ln.u = e.v
+    GROUP BY e.u) m ON m.u = l.u
+)"""
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({Q31_SQL}) q WHERE jaccard_est >= {_MH_COVER_THRESH}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+l0 AS (SELECT doc_id AS u, doc_id AS label FROM documents){rounds}
+SELECT u AS doc_id, label AS cluster, u = label AS is_keeper FROM {prev}
+"""
+
+
+Q48_SQL = _q48_sql()
+
+
+# ---------------------------------------------------------------------------
 # Q44-Q46 — the reference's file-format intake, contract-exercised
 # (VERDICT r02 #4; S1/S2/S4/S6 were pytest-only): each query materializes
 # a driver table to deterministic text sidecars (sources/
@@ -1899,6 +1962,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_fixed_width": q45_fixed_width,
     "q46_csv_header_scan": q46_csv_header_scan,
     "q47_changelog": q47_changelog,
+    "q48_dedup_clusters": q48_dedup_clusters,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1953,6 +2017,7 @@ _ORACLES: dict[str, str] = {
     "q45_fixed_width": Q45_SQL,
     "q46_csv_header_scan": Q46_SQL,
     "q47_changelog": Q47_SQL,
+    "q48_dedup_clusters": Q48_SQL,
 }
 
 

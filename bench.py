@@ -86,6 +86,7 @@ SF_OVERRIDES = {
     "q24_minhash_lsh": "/root/testdata/sf0.01",
     "q31_minhash_lsh_portable": "/root/testdata/sf0.01",
     "q41_ivf_topk": "/root/testdata/sf0.01",
+    "q48_dedup_clusters": "/root/testdata/sf0.01",
 }
 
 

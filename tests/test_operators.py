@@ -84,6 +84,24 @@ def test_cosine_topk_bruteforce(spark):
     assert [r.rank for r in out] == [1, 2, 3]
 
 
+def test_dedup_clusters_components_and_keepers(spark):
+    from tpc_di_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # components: {0,1,2} (chain), {4,7}, singletons 3,5,6,8,9
+    pairs = spark.createDataFrame(
+        [(1, 2), (0, 1), (4, 7)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.cluster, r.is_keeper) for r in
+           dedup_clusters(ids, "doc_id", pairs, iters=3).collect()}
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[4] == (4, True) and out[7] == (4, False)
+    for s in (3, 5, 6, 8, 9):
+        assert out[s] == (s, True)
+    # keeper count == number of components
+    assert sum(1 for c, k in out.values() if k) == 7
+
+
 def test_check_embedding_domain_fails_loudly(spark):
     """Out-of-range embedding elements (|x| >= 100, outside the exact-
     DECIMAL(8,6) quantization domain) must raise, not silently NULL the

@@ -266,3 +266,55 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return cands.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iters: int = 4,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → cluster
+    assignment + keeper selection (the step that actually DROPS
+    duplicates once MinHash/SimHash/embedding candidates are verified).
+
+    Iterative min-label propagation: every id starts as its own label;
+    each round takes the min of its label and its neighbors' labels.
+    After ``iters`` rounds every component with graph diameter <= iters
+    carries its minimum id as the cluster label — near-dup clusters are
+    tiny (pairs/triples), so a small fixed iteration count converges and
+    keeps the computation DETERMINISTIC and SQL-oracle-expressible (the
+    oracle unrolls the same rounds). Each round is one shuffle join of
+    labels against the symmetrized edge list — the standard scalable CC
+    shape (GraphFrames' algorithm is this plus star-contraction
+    optimizations); at 10^10 docs, raise ``iters`` logarithmically or
+    chain with alternating-star contraction, never collect.
+
+    Returns (id, cluster, is_keeper): ``cluster`` = min id reachable
+    within ``iters`` hops, ``is_keeper`` marks the representative each
+    cluster retains.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
+    for _ in range(iters):
+        neighbor_min = (
+            edges.join(labels.withColumnsRenamed({"u": "v", "label": "_nl"}), "v")
+            .groupBy("u")
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least(F.col("label"), F.col("_nmin")).alias("label"))
+        )
+    w_keep = F.col("u") == F.col("label")
+    return labels.select(
+        F.col("u").alias(id_col),
+        F.col("label").alias("cluster"),
+        w_keep.alias("is_keeper"),
+    )
