@@ -102,6 +102,43 @@ def test_dedup_clusters_components_and_keepers(spark):
     assert sum(1 for c, k in out.values() if k) == 7
 
 
+def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
+    """Cross-check min-label propagation against a driver-side union-find
+    on seeded random graphs (iters >= node count guarantees convergence
+    for any diameter)."""
+    import random
+
+    from tpc_di_spark.operators.dedup import dedup_clusters
+
+    for seed in (7, 19, 42):
+        rng = random.Random(seed)
+        n = 14
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(rng.randint(3, 10))}
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in range(n)}
+
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.cluster
+            for r in dedup_clusters(ids, "doc_id", pairs, iters=n).collect()
+        }
+        assert got == expected, f"seed={seed} edges={edges}"
+
+
 def test_check_embedding_domain_fails_loudly(spark):
     """Out-of-range embedding elements (|x| >= 100, outside the exact-
     DECIMAL(8,6) quantization domain) must raise, not silently NULL the

@@ -275,6 +275,7 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     iters: int = 4,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs → cluster
     assignment + keeper selection (the step that actually DROPS
@@ -302,7 +303,7 @@ def dedup_clusters(
         .distinct()
     )
     labels = ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
-    for _ in range(iters):
+    for i in range(iters):
         neighbor_min = (
             edges.join(labels.withColumnsRenamed({"u": "v", "label": "_nl"}), "v")
             .groupBy("u")
@@ -312,6 +313,14 @@ def dedup_clusters(
             labels.join(neighbor_min, "u", "left")
             .select("u", F.least(F.col("label"), F.col("_nmin")).alias("label"))
         )
+        # Iterative lineage MUST be truncated: each round nests the prior
+        # plan twice (labels appears in both join inputs), so the logical
+        # plan grows exponentially — by ~12 unchecked rounds, Catalyst
+        # OOMs just stringifying it. localCheckpoint materializes the
+        # frame and cuts the lineage (on a cluster with executor-loss
+        # concerns, swap for a reliable checkpoint dir).
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
     w_keep = F.col("u") == F.col("label")
     return labels.select(
         F.col("u").alias(id_col),
