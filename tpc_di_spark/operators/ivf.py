@@ -92,12 +92,16 @@ def ivf_topk(
     whose cell is one of the query's ``nprobe`` nearest cells."""
     from tpc_di_spark.operators.similarity import _dot, _norm
 
+    # Norms projected ONCE per vector on each side — inside the cell join
+    # they would be recomputed per candidate pair (3x the exact-decimal
+    # work); same expression on the same vector, so cosines stay
+    # bit-identical.
     lists = ivf_assign(emb, id_col, vec_col, centroids, keep_rank=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
-    )
+    ).withColumn("_nc", _norm(F.col("cv")))
     probes = ivf_assign(emb, id_col, vec_col, centroids, keep_rank=nprobe).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
-    )
+    ).withColumn("_nq", _norm(F.col("qv")))
     cands = probes.join(lists, ["centroid_id"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -105,7 +109,7 @@ def ivf_topk(
         "cosine",
         F.try_divide(
             _dot(F.col("qv"), F.col("cv")).cast("double"),
-            _norm(F.col("qv")) * _norm(F.col("cv")),
+            F.col("_nq") * F.col("_nc"),
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

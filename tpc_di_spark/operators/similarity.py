@@ -108,16 +108,24 @@ def cosine_topk_bruteforce(
     """Exact cosine top-k: each query row (optionally filtered) against the
     full corpus. Corpus side is broadcast when small; at scale, prefer
     ``lsh_bucketed_topk``."""
+    # Norms are per-VECTOR quantities: computing them inside the pair
+    # join (the r02 shape) re-ran the exact-decimal fold 2x per pair —
+    # 3x the decimal work for Q x N pairs. Projected once per side here;
+    # the doubles are the same expression on the same vector, so every
+    # cosine stays bit-identical.
     q = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     if query_filter is not None:
         q = q.filter(query_filter)
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = q.withColumn("_nq", _norm(F.col("qv")))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("_nc", _norm(F.col("cv")))
     j = q.join(c, F.col("query_id") != F.col("neighbor_id"))
     j = j.withColumn(
         "cosine",
         F.try_divide(
             _dot(F.col("qv"), F.col("cv")).cast("double"),
-            _norm(F.col("qv")) * _norm(F.col("cv")),
+            F.col("_nq") * F.col("_nc"),
         ),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -193,15 +201,23 @@ def lsh_bucketed_topk(
         raise ValueError("probe_bits supports 0 (exact bucket) or 1 (flip each bit)")
     cands = None
     for t in range(tables):
-        bk = hyperplane_buckets(emb, id_col, vec_col, bits=bits, seed=7 + t, dim=dim)
-        a = bk.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket")
+        bk = hyperplane_buckets(
+            emb, id_col, vec_col, bits=bits, seed=7 + t, dim=dim
+        ).withColumn("_nrm", _norm(F.col(vec_col)))  # once per vector, not per pair
+        a = bk.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.col("_nrm").alias("_nq"), "bucket",
+        )
         if probe_bits == 1:
             probes = F.array(
                 F.col("bucket"),
                 *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
             )
             a = a.withColumn("bucket", F.explode(probes))
-        b = bk.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
+        b = bk.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            F.col("_nrm").alias("_nc"), "bucket",
+        )
         pairs = a.join(b, ["bucket"]).filter(F.col("query_id") != F.col("neighbor_id")).drop("bucket")
         cands = pairs if cands is None else cands.unionByName(pairs)
     cands = cands.dropDuplicates(["query_id", "neighbor_id"])
@@ -209,7 +225,7 @@ def lsh_bucketed_topk(
         "cosine",
         F.try_divide(
             _dot(F.col("qv"), F.col("cv")).cast("double"),
-            _norm(F.col("qv")) * _norm(F.col("cv")),
+            F.col("_nq") * F.col("_nc"),
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
