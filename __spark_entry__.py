@@ -1807,15 +1807,24 @@ from tpc_di_spark.sources.sidecar_fixtures import (  # noqa: E402
     sidecar_dir,
 )
 
-_SIDECAR_ORACLE_DIR = sidecar_dir("/root/testdata/sf0.01")
+# q44-q46 pin BOTH sides to the sf0.01 sidecars regardless of the sf_dir
+# they're invoked with: oracle_sql() strings are static, so a floating
+# Spark-side sf would compare different data sets at any other scale
+# (ADVICE r03). The scans themselves are sf-independent operators.
+_SIDECAR_SF_DIR = "/root/testdata/sf0.01"
+_SIDECAR_ORACLE_DIR = sidecar_dir(_SIDECAR_SF_DIR)
 
 
 def q44_pipe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 pipe-delimited scan (empty→NULL, typed casts) + S6 batch-date
-    scalar, over bytes the oracle reads too."""
+    scalar, over bytes the oracle reads too. The DECIMAL(12,2) parse
+    stays inside the scan (the typed-reader path under test); the
+    emitted column is cast to DOUBLE so the contract hash never compares
+    raw DECIMAL cell renderings across engines (ADVICE r03: driver env
+    rendered Decimal('2547.40') vs 2547.4)."""
     from tpc_di_spark.sources.delimited import read_batch_date, read_pipe_delimited
 
-    out = make_sidecars(sf_dir)
+    out = make_sidecars(_SIDECAR_SF_DIR)
     schema = T.StructType(
         [
             T.StructField("c_custkey", T.LongType()),
@@ -1827,15 +1836,26 @@ def q44_pipe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = read_pipe_delimited(spark, os.path.join(out, "customer.psv"), schema)
     bd = read_batch_date(os.path.join(out, "BatchDate.txt"))
-    return df.withColumn("batch_date", F.to_date(F.lit(bd)))
+    return df.withColumn("c_acctbal", F.col("c_acctbal").cast("double")).withColumn(
+        "batch_date", F.to_date(F.lit(bd))
+    )
 
 
+# Environment-proof oracle (q45 style, VERDICT r03 #1): DuckDB reads every
+# field as raw VARCHAR and all NULLing/casting is spelled out in SQL, so
+# neither engine's typed-CSV parsing defaults nor DECIMAL cell rendering
+# participates in the comparison.
 Q44_SQL = f"""
-SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+SELECT CAST(c_custkey AS BIGINT)    AS c_custkey,
+       nullif(c_name, '')           AS c_name,
+       CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(c_acctbal AS DOUBLE)    AS c_acctbal,
+       nullif(c_mktsegment, '')     AS c_mktsegment,
        DATE '{BATCH_DATE}' AS batch_date
 FROM read_csv('{_SIDECAR_ORACLE_DIR}/customer.psv', delim='|', header=false,
-  columns={{'c_custkey':'BIGINT','c_name':'VARCHAR','c_nationkey':'INTEGER',
-           'c_acctbal':'DECIMAL(12,2)','c_mktsegment':'VARCHAR'}})
+  quote='', all_varchar=true,
+  columns={{'c_custkey':'VARCHAR','c_name':'VARCHAR','c_nationkey':'VARCHAR',
+           'c_acctbal':'VARCHAR','c_mktsegment':'VARCHAR'}})
 """
 
 
@@ -1844,7 +1864,7 @@ def q45_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     (typed, empty→NULL), FIN records filtered out by the type tag."""
     from tpc_di_spark.sources.fixed_width import FwField, read_fixed_width
 
-    out = make_sidecars(sf_dir)
+    out = make_sidecars(_SIDECAR_SF_DIR)
     fields = (
         FwField("pts", 0, 15),
         FwField("rec_type", 15, 3),
@@ -1879,10 +1899,12 @@ WHERE substr(value, 16, 3) = 'CMP'
 
 
 def q46_csv_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 CSV-with-header scan through the same delimited reader."""
+    """S2 CSV-with-header scan through the same delimited reader. The
+    DECIMAL(12,2) parse stays in the scan; the emitted column is DOUBLE
+    (same contract-hash rationale as q44)."""
     from tpc_di_spark.sources.delimited import read_csv_with_header
 
-    out = make_sidecars(sf_dir)
+    out = make_sidecars(_SIDECAR_SF_DIR)
     schema = T.StructType(
         [
             T.StructField("p_partkey", T.LongType()),
@@ -1892,20 +1914,28 @@ def q46_csv_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("p_retailprice", T.DecimalType(12, 2)),
         ]
     )
-    return read_csv_with_header(spark, os.path.join(out, "part.csv"), schema)
+    return read_csv_with_header(
+        spark, os.path.join(out, "part.csv"), schema
+    ).withColumn("p_retailprice", F.col("p_retailprice").cast("double"))
 
 
+# Environment-proof oracle (q45 style) — see Q44_SQL rationale.
 Q46_SQL = f"""
-SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
+SELECT CAST(p_partkey AS BIGINT)      AS p_partkey,
+       nullif(p_brand, '')            AS p_brand,
+       nullif(p_type, '')             AS p_type,
+       CAST(p_size AS INTEGER)        AS p_size,
+       CAST(p_retailprice AS DOUBLE)  AS p_retailprice
 FROM read_csv('{_SIDECAR_ORACLE_DIR}/part.csv', delim=',', header=true,
-  columns={{'p_partkey':'BIGINT','p_brand':'VARCHAR','p_type':'VARCHAR',
-           'p_size':'INTEGER','p_retailprice':'DECIMAL(12,2)'}})
+  quote='', all_varchar=true,
+  columns={{'p_partkey':'VARCHAR','p_brand':'VARCHAR','p_type':'VARCHAR',
+           'p_size':'VARCHAR','p_retailprice':'VARCHAR'}})
 """
 
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
-    make_sidecars("/root/testdata/sf0.01")
+    make_sidecars(_SIDECAR_SF_DIR)
 except Exception:  # testdata absent in some environments — queries regenerate
     pass
 
