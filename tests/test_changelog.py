@@ -134,6 +134,33 @@ def test_rows_closed_in_survives_compaction(spark, tmp_path):
     assert after == before == {("a", 0): "a0v2", ("a", 1): "a1v1"}
 
 
+def test_changed_keys_since_overapproximates_after_compaction(spark, tmp_path):
+    """Retention guard (ADVICE r03): compaction rewrites history files
+    under a tag with no closing-batch id; a checkpoint that predates the
+    compaction must still see delete-only touches. Unknown-tag history
+    files are included (safe over-approximation) instead of silently
+    dropped."""
+    from tpc_di_spark.lake.maintenance import compact
+
+    table = _replayed(spark, tmp_path)
+    exact = {
+        (r.conv_id, r.turn_idx)
+        for r in changed_keys_since(table, after_batch_id=2).collect()
+    }
+    # truly touched after batch 2: (a,0) updated, (a,1) deleted
+    assert exact == {("a", 0), ("a", 1)}
+
+    compact(table, max_files_per_bucket=0)  # erases batch-3 hist tags
+    approx = {
+        (r.conv_id, r.turn_idx)
+        for r in changed_keys_since(table, after_batch_id=2).collect()
+    }
+    # (a,1)'s delete left no created-row trace (its version carries
+    # batch_id=1) — only the closed-side detection can find it. The
+    # over-approximation may add keys but must never lose one.
+    assert exact <= approx, "a deleted key went missing after compaction"
+
+
 def test_changelog_consistent_after_resume(spark, tmp_path):
     """file_stats survive the checkpoint-manifest resume path: a batch
     killed after its write and re-applied must still record stats."""

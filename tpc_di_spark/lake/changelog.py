@@ -146,13 +146,16 @@ def changed_keys_since(
     batch_id; those are found by the history files' closing-batch commit
     tags — pure file selection).
 
-    RETENTION CAVEAT: a compaction that has already rewritten a closing
-    batch's history files erases its path tag from the current snapshot;
-    delete-only touches from before the last compaction then require
-    reading per-batch via ``rows_closed_in`` (which falls back to the
-    committing snapshot). Consumers should checkpoint at least as often
-    as they compact — the same retention contract as Iceberg incremental
-    reads."""
+    RETENTION GUARD: a compaction/rebucket that has already rewritten a
+    closing batch's history files erases its ``batch-``/``compact-delta-``
+    path tag (the rewrite carries a ``compact-``/``rebucket-`` tag with no
+    closing batch id). Those files are treated as "closing batch UNKNOWN"
+    and included in the scan set — a safe over-approximation (a consumer
+    re-pulls some unchanged keys; it never misses a deleted one). The
+    exact answer still requires checkpointing at least as often as
+    compaction — the same retention contract as Iceberg incremental
+    reads; ``rows_closed_in`` can recover per-batch exactness via the
+    committing snapshot."""
     snap = snapshot or table.snapshot
     created_rels = [
         rel
@@ -163,7 +166,7 @@ def changed_keys_since(
         rel
         for fl in snap.hist_files.values()
         for rel in fl
-        if (b := _closing_batch_of(rel)) is not None and b > after_batch_id
+        if (b := _closing_batch_of(rel)) is None or b > after_batch_id
     ]
 
     def keys_of(paths: list[str], flt=None) -> DataFrame | None:

@@ -232,8 +232,16 @@ class ObjectStoreFS(TableFS):
                         f"If-Match failed on {path}: object changed since last read"
                     )
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "w") as f:  # in-place PUT — no rename anywhere
+            # A real store's whole-object PUT is atomic to readers; a
+            # truncate-then-write here would let a concurrent read_text
+            # observe an empty/torn object — weaker than the semantics
+            # being emulated. The temp-file + os.replace is purely the
+            # local-disk mechanism for an atomic PUT (the CAS check above
+            # remains the only commit primitive the table relies on).
+            tmp = f"{path}.put-{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "w") as f:
                 f.write(text)
+            os.replace(tmp, path)
             self._seen_etags[key] = self._etag(text)
 
     def exists(self, path: str) -> bool:

@@ -276,6 +276,7 @@ def dedup_clusters(
     b_col: str = "doc_b",
     iters: int = 4,
     checkpoint_every: int = 4,
+    on_unconverged: str = "warn",
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs → cluster
     assignment + keeper selection (the step that actually DROPS
@@ -296,12 +297,31 @@ def dedup_clusters(
     Returns (id, cluster, is_keeper): ``cluster`` = min id reachable
     within ``iters`` hops, ``is_keeper`` marks the representative each
     cluster retains.
+
+    CONVERGENCE GUARD (``on_unconverged``): a component with graph
+    diameter > ``iters`` would silently split into multiple plausible
+    clusters, each electing its own keeper. Unless ``"ignore"``, one
+    extra (unreturned) propagation round runs after the ``iters``
+    returned rounds and counts labels that would still change; a nonzero
+    count warns (``"warn"``, default) or raises (``"raise"``) with the
+    unconverged label count, so under-iterated output is visible instead
+    of wrong-but-plausible. The check costs one join+agg over the
+    already-materialized labels; the RETURNED labels are always exactly
+    the ``iters``-round result (oracle parity is unchanged).
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
     )
+    if on_unconverged not in ("ignore", "warn", "raise"):
+        raise ValueError(f"on_unconverged must be ignore|warn|raise, got {on_unconverged!r}")
+    if on_unconverged != "ignore":
+        # The check re-reads edges after the rounds; materialize once so
+        # the candidate-pair pipeline behind `pairs` doesn't recompute.
+        edges = edges.localCheckpoint(eager=False)
     labels = ids.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
     for i in range(iters):
         neighbor_min = (
@@ -321,6 +341,26 @@ def dedup_clusters(
         # concerns, swap for a reliable checkpoint dir).
         if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=True)
+    if on_unconverged != "ignore":
+        labels = labels.localCheckpoint(eager=True)
+        unconverged = (
+            edges.join(labels.withColumnsRenamed({"u": "v", "label": "_nl"}), "v")
+            .groupBy("u")
+            .agg(F.min("_nl").alias("_nmin"))
+            .join(labels, "u")
+            .filter(F.col("_nmin") < F.col("label"))
+            .count()
+        )
+        if unconverged:
+            msg = (
+                f"dedup_clusters: {unconverged} labels would still change after "
+                f"{iters} rounds — a component has diameter > iters and is "
+                f"SPLIT in this output; raise iters (log2(diameter) rounds "
+                f"suffice with doubling, linear here)"
+            )
+            if on_unconverged == "raise":
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     w_keep = F.col("u") == F.col("label")
     return labels.select(
         F.col("u").alias(id_col),
