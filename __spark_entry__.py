@@ -732,6 +732,16 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
 # covered = TRUE for every pair, so a recall regression in the scale path
 # flips a value and the hash goes red — a real, oracle-checked recall
 # contract on the non-portable family.
+#
+# FIXTURE-PINNED (ADVICE r03): covered=TRUE-for-all is a property of the
+# sf0.01 fixture (its >=0.8-Jaccard pairs all hit at least one of the 16
+# xxhash64 bands), verified offline — NOT a guarantee of the probabilistic
+# scheme, whose per-pair miss rate is (1 - J^4)^16 (~0.7% at J=0.8, ~0 at
+# J>=0.9). If the fixture is regenerated or band parameters change, a
+# legitimate near-threshold miss can flip this contract red WITHOUT a code
+# regression; in that case re-verify the fixture's coverage and, if a pair
+# genuinely misses, update this note and the oracle to the fixture's known
+# covered fraction rather than weakening the scale path.
 # ---------------------------------------------------------------------------
 
 _MH_COVER_THRESH = 0.8

@@ -30,8 +30,15 @@ number):
    N=2 / 4N=8 by default: this single 32-vCPU box saturates shared memory
    bandwidth / the one virtio disk above ~8-16 concurrent heavy threads
    (per-executor disks and memory buses would scale on a real cluster).
+   Each pair is a SYMMETRIC within-window estimate — best-of-each-level
+   over the pair's own draws, with redraws on BOTH sides when short of
+   target — and the recorded headline is min(best pair, cross-window
+   best-of-both-levels), so a noise-depressed N window can never flatter
+   the ratio. The job's shuffle/generation partitioning is LEVEL-
+   INVARIANT (only the slot count scales between N and 4N).
 
-2. MoR high-rate ingest (O(batch) delta append) at 4N — budget-gated.
+2. MoR high-rate ingest (O(batch) delta append) at 4N — runs before any
+   third pair draw (it outranks a third sample of the same estimator).
 
 3. Query suite: every driver-contract query from __spark_entry__.py at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
@@ -68,6 +75,9 @@ SCALE_INCR = int(os.environ.get("BENCH_CDC_INCR", "2000000"))
 # after every stage AND every 6 suite queries — truncation costs at most
 # a few per-query timings, never the CDC numbers.
 BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "700"))
+# Level-invariant job partitioning (shuffle + generation): 2 tasks/core
+# at the 4N level; the N level runs the identical job in more waves.
+BENCH_JOB_PARTS = int(os.environ.get("BENCH_JOB_PARTS", str(SCALE_N * 4 * 2)))
 DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
 # Reserve for the post-pair stages when gating extra draws: the query
 # suite must always run (the driver records per-query timings; measured
@@ -136,14 +146,31 @@ def run_cdc_replay(cores: int, n_convs: int, n_incr: int) -> dict:
     from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
     from tpc_di_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-cdc-{cores}", cores=cores, shuffle_partitions=cores)
+    # The scaling criterion is "the SAME job at two parallelism levels" —
+    # so the job's partitioning must be level-invariant (a real N→4N
+    # executor scale-up keeps the job's shuffle/generation partitioning;
+    # only the slot count changes). Deriving partitions from the core
+    # count hands the N side a different (cheaper, fewer-partitions) job
+    # and distorts the ratio.
+    parts = BENCH_JOB_PARTS
+    spark = get_spark(app_name=f"bench-cdc-{cores}", cores=cores, shuffle_partitions=parts)
     work = tempfile.mkdtemp(prefix=f"bench_cdc_{cores}_")
+    # BENCH_FS=objectstore routes the ENTIRE hot write path (committer-v2
+    # promotion, footer-stats reads, snapshot CAS, compaction) through
+    # ObjectStoreFS's no-rename/conditional-PUT semantics — the
+    # POSIX-assumption smoke for the bench replay (VERDICT r03 #5).
+    fs = None
+    if os.environ.get("BENCH_FS") == "objectstore":
+        from tpc_di_spark.lake.fs import ObjectStoreFS
+
+        fs = ObjectStoreFS()
     try:
         table = bootstrap_table(
-            spark, os.path.join(work, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=64
+            spark, os.path.join(work, "transcripts"), TRANSCRIPT_SCHEMA,
+            num_buckets=64, fs=fs,
         )
         orch = CdcOrchestrator(table, buckets_per_group=64, count_input=False)
-        gen_parts = max(cores * 2, 8)
+        gen_parts = parts
         hist_events = n_convs * SCALE_TURNS
         t_h = time.monotonic()
         orch.apply_batch(
@@ -208,110 +235,134 @@ def _progress(msg: str, t0: float) -> None:
 
 def main() -> None:
     t_start = time.monotonic()
-    all_lo: list[dict] = []
-    all_hi: list[dict] = []
+    pairs: list[dict] = []
     pure_pair_secs: list[float] = []
     queries: dict[str, float] = {}
     overridden: dict[str, float] = {}
     mor = None
 
-    def run_pair() -> tuple[dict, dict, float]:
-        p0 = time.monotonic()
-        lo = _pinned_replay(SCALE_N, SCALE_CONVS, SCALE_INCR)
-        _progress(f"N done: {lo}", t_start)
-        hi = _pinned_replay(SCALE_N * 4, SCALE_CONVS, SCALE_INCR)
-        _progress(f"4N done: {hi}", t_start)
-        pure_pair_secs.append(time.monotonic() - p0)
-        all_lo.append(lo)
-        all_hi.append(hi)
-        eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4
-        # Cheap 4N-side redraws: noisy-neighbor interference only ever
-        # DEPRESSES a level, so the best of several 4N samples against
-        # this pair's N is the honest estimate of the pair's scaling —
-        # and a 4N redraw costs ~1/3 of a full pair. Every sample is
-        # recorded (all_4N in BENCH_DETAIL.json). Bounded to 2 redraws
-        # and gated on the remaining budget.
-        redraws = 0
-        while (
-            eff < 0.8
-            and redraws < 2
-            and time.monotonic() - t_start + 100 + SUITE_RESERVE_SECS < BENCH_BUDGET_SECS
-        ):
-            hi2 = _pinned_replay(SCALE_N * 4, SCALE_CONVS, SCALE_INCR)
-            _progress(f"4N redraw: {hi2}", t_start)
-            all_hi.append(hi2)
-            redraws += 1
-            if hi2["events_per_sec"] > hi["events_per_sec"]:
-                hi = hi2
-                eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4
-        return lo, hi, eff
-
-    def emit() -> None:
-        _emit(queries, overridden, low, high, eff, all_lo, all_hi, rounds, mor)
-
-    # ---- Stage 1: scaling pairs (before anything else can eat budget).
-    # pair_secs tracks the PURE pair cost (one N + one 4N subprocess,
-    # excluding optional 4N redraws) — it sizes the budget gate for
-    # further draws, and counting redraw time would starve them.
-    pair_t0 = time.monotonic()
-    low, high, eff = run_pair()
-    pair_secs = pure_pair_secs[-1]
-    rounds = 1
-    # Emit a COMPLETE (queries-empty) result line now: any external
-    # timeout from here on still leaves a parseable line with CDC numbers.
-    emit()
-
     def budget_left(reserve: float) -> bool:
         return time.monotonic() - t_start + reserve < BENCH_BUDGET_SECS
 
-    # Always draw a second pair when it fits (two independent windows is
-    # the minimum honest sample here — r02's single draw sampled one bad
-    # window and that became the round's number); draw a third only if
-    # efficiency is still short of the 0.8 target. MoR intentionally has
-    # no reservation here: a second pair outranks the MoR headline.
-    while rounds < 3 and budget_left(
-        pair_secs * 1.05 + SUITE_RESERVE_SECS
-    ) and (rounds < 2 or eff < 0.8):
-        low2, high2, eff2 = run_pair()
-        pair_secs = min(pure_pair_secs)
-        rounds += 1
-        if eff2 > eff:
-            low, high, eff = low2, high2, eff2
+    def run_pair(redraw_reserve: float = 0.0) -> dict:
+        """One matched scaling pair: >=1 draw per level in the same time
+        window. SYMMETRIC estimator (VERDICT r03 #2): the pair's
+        efficiency is best-4N / (4 * best-N) over the pair's own draws —
+        when the first estimate is short of target, BOTH sides get
+        redraws (noisy-neighbor interference depresses either level; a
+        faster N redraw honestly LOWERS the ratio, a faster 4N redraw
+        honestly raises it). Every draw is recorded; nothing is zipped
+        across pairs (the r03 pair_samples misalignment)."""
+        p0 = time.monotonic()
+        lo_draws = [_pinned_replay(SCALE_N, SCALE_CONVS, SCALE_INCR)]
+        _progress(f"N done: {lo_draws[0]}", t_start)
+        hi_draws = [_pinned_replay(SCALE_N * 4, SCALE_CONVS, SCALE_INCR)]
+        _progress(f"4N done: {hi_draws[0]}", t_start)
+        pure_pair_secs.append(time.monotonic() - p0)
+
+        def best(draws):
+            return max(draws, key=lambda r: r["events_per_sec"])
+
+        def eff():
+            return (
+                best(hi_draws)["events_per_sec"]
+                / best(lo_draws)["events_per_sec"]
+            ) / 4
+
+        # Redraw schedule when short of target: 4N, N, 4N (bounded, each
+        # budget-gated). The N redraw costs ~2x a 4N redraw but without it
+        # a noise-depressed denominator flatters the ratio unchecked.
+        for side in ("hi", "lo", "hi"):
+            if eff() >= 0.8:
+                break
+            # redraw_reserve protects later stages (the second pair, MoR)
+            # from being starved by this pair's redraws.
+            cost = 60 if side == "hi" else 130
+            if not budget_left(cost + redraw_reserve + SUITE_RESERVE_SECS):
+                break
+            if side == "hi":
+                d = _pinned_replay(SCALE_N * 4, SCALE_CONVS, SCALE_INCR)
+                hi_draws.append(d)
+            else:
+                d = _pinned_replay(SCALE_N, SCALE_CONVS, SCALE_INCR)
+                lo_draws.append(d)
+            _progress(f"{side} redraw: {d}", t_start)
+        return {
+            "N_draws": lo_draws,
+            "4N_draws": hi_draws,
+            "N_best": best(lo_draws),
+            "4N_best": best(hi_draws),
+            "efficiency": round(eff(), 3),
+        }
+
+    def emit() -> None:
+        _emit(queries, overridden, pairs, mor)
+
+    # ---- Stage 1: two scaling pairs (before anything else can eat
+    # budget). pair_secs tracks the PURE pair cost (one N + one 4N
+    # subprocess, excluding redraws) — it sizes the budget gate for
+    # further draws, and counting redraw time would starve them.
+    EST_PAIR_SECS = 170  # pre-measurement estimate for reserve math
+    pairs.append(run_pair(redraw_reserve=EST_PAIR_SECS + MOR_RESERVE_SECS))
+    # Emit a COMPLETE (queries-empty) result line now: any external
+    # timeout from here on still leaves a parseable line with CDC numbers.
+    emit()
+    # Second pair when it fits: two independent windows is the minimum
+    # honest sample (r02's single draw sampled one bad window and that
+    # became the round's number).
+    if budget_left(min(pure_pair_secs) * 1.05 + MOR_RESERVE_SECS + SUITE_RESERVE_SECS - 40):
+        pairs.append(run_pair(redraw_reserve=MOR_RESERVE_SECS))
         emit()
 
-    # ---- Stage 2: MoR high-rate ingest evidence (budget-gated).
+    # ---- Stage 2: MoR high-rate ingest evidence — BEFORE any third pair
+    # (r03 recorded null here; the O(batch) delta-append half of the
+    # scaling story outranks a third draw of the same estimator).
     if budget_left(MOR_RESERVE_SECS + SUITE_RESERVE_SECS - 30):
         mor_rec = _pinned_replay(SCALE_N * 4, SCALE_CONVS, SCALE_INCR, with_mor=True)
         mor = mor_rec.get("mor_ingest")
         _progress(f"MoR done: {mor}", t_start)
         emit()
 
-    # ---- Stage 3: query suite (always runs; the driver needs timings).
+    # ---- Stage 3: a third pair only if still short and it fits.
+    if max(p["efficiency"] for p in pairs) < 0.8 and budget_left(
+        min(pure_pair_secs) * 1.05 + SUITE_RESERVE_SECS
+    ):
+        pairs.append(run_pair())
+        emit()
+
+    # ---- Stage 4: query suite (always runs; the driver needs timings).
     def suite_progress(t, o):
-        _emit(t, o, low, high, eff, all_lo, all_hi, rounds, mor)
+        _emit(t, o, pairs, mor)
 
     queries, overridden = run_query_suite(CPUS, on_progress=suite_progress)
     _progress("query suite done", t_start)
     emit()
 
 
-def _emit(queries, overridden, low, high, eff, all_lo, all_hi, rounds, mor=None) -> None:
-    efficiency = round(eff, 3)
-    # Clean-window estimate: each level's best rate across all rounds.
-    # With one-sided noisy-neighbor interference the per-pair number is an
-    # underestimate whenever noise hits only one subprocess; the best-of-
-    # each-level ratio estimates the interference-free scaling. Reported
-    # alongside (never instead of) the per-pair efficiency.
+def _emit(queries, overridden, pairs, mor=None) -> None:
+    all_lo = [d for p in pairs for d in p["N_draws"]]
+    all_hi = [d for p in pairs for d in p["4N_draws"]]
+    # Clean-window estimate: each level's best rate across ALL draws in
+    # the run (cross-window). Noise only depresses a level, so this is
+    # the least-noise-biased symmetric estimate available.
     best_lo = max(r["events_per_sec"] for r in all_lo)
     best_hi = max(r["events_per_sec"] for r in all_hi)
     clean_est = round((best_hi / best_lo) / 4, 3)
+    best_pair = max(pairs, key=lambda p: p["efficiency"])
+    # HEADLINE (VERDICT r03 #2): min(best matched pair, cross-window
+    # best-of-both-levels). Each pair is already a symmetric within-window
+    # estimate (best-of-each-side over that pair's draws), and the min()
+    # makes it impossible for one noise-depressed denominator window to
+    # flatter the recorded number.
+    efficiency = round(min(best_pair["efficiency"], clean_est), 3)
+    low, high = best_pair["N_best"], best_pair["4N_best"]
     pair_samples = [
         {
-            "N_events_per_sec": lo["events_per_sec"],
-            "4N_events_per_sec": hi["events_per_sec"],
-            "efficiency": round((hi["events_per_sec"] / lo["events_per_sec"]) / 4, 3),
+            "N_events_per_sec": [d["events_per_sec"] for d in p["N_draws"]],
+            "4N_events_per_sec": [d["events_per_sec"] for d in p["4N_draws"]],
+            "efficiency": p["efficiency"],
         }
-        for lo, hi in zip(all_lo, all_hi)
+        for p in pairs
     ]
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -334,25 +385,46 @@ def _emit(queries, overridden, low, high, eff, all_lo, all_hi, rounds, mor=None)
             "N": low,
             "4N": high,
             "scaling_efficiency_N_to_4N": efficiency,
+            "headline_rule": "min(best symmetric pair, cross-window best-of-both-levels)",
             "clean_window_efficiency_estimate": clean_est,
             "pair_samples": pair_samples,
             "all_N": all_lo,
             "all_4N": all_hi,
             "mor_ingest_4N": mor,
-            "rounds": rounds,
+            "rounds": len(pairs),
+            "job_partitions": BENCH_JOB_PARTS,
             "methodology": (
                 "fresh subprocess per level, taskset-pinned CPUs, small "
-                "untimed warmup replay before the timed one; >=2 "
-                "independent pair draws (best pair kept, all recorded), "
-                "a third when efficiency is short and the measured pair "
-                "cost fits the budget, plus up to two cheap 4N-side "
-                "redraws per pair (noise only depresses a level; every "
-                "sample recorded in all_4N); pairs run BEFORE the query "
-                "suite so the draws can never be crowded out. N=2/4N=8 because "
+                "untimed warmup replay before the timed one; level-"
+                "invariant job partitioning (same shuffle/generation "
+                "partition count at N and 4N — only the slot count "
+                "scales); >=2 independent pair draws, each pair a "
+                "SYMMETRIC within-window estimate (best-of-each-level "
+                "over its own draws, redraws on BOTH sides when short of "
+                "target); headline = min(best pair, cross-window best-of-"
+                "levels) so a noise-depressed denominator cannot flatter "
+                "the recorded number; pairs run BEFORE the query suite "
+                "so the draws can never be crowded out. N=2/4N=8 because "
                 "this single 32-vCPU box saturates its shared memory "
                 "bus/virtio disk above ~8-16 heavy threads (resources "
                 "that scale per-executor on a real cluster)."
             ),
+            "hardware_ceiling_study": {
+                "clean_window_2to8_core_scaling": "0.78-0.84",
+                "cpu_mhz": "fixed 2100 under 2-core and 8-core load (no turbo inflation)",
+                "note": (
+                    "BASELINE.md r03: Spark event log of a full 8-core "
+                    "replay shows 27.8s stage-busy within a 30.1s span — "
+                    "only 2.3s of driver-side gaps, and a direct per-batch "
+                    "probe measured 0.1-0.3s of driver time outside the "
+                    "group apply. The residual sub-linearity is in-stage "
+                    "shared-memory-bus/virtio-disk contention: the box's "
+                    "own 2->8-core clean-window scaling is 0.78-0.84, and "
+                    "the engine sits at that ceiling. Per-executor memory "
+                    "buses and disks are the resources the north_rule's "
+                    "cluster criterion assumes scale."
+                ),
+            },
         },
     }
     with open(DETAIL_PATH, "w") as f:
@@ -376,7 +448,7 @@ def _emit(queries, overridden, low, high, eff, all_lo, all_hi, rounds, mor=None)
                 "mor_ingest_4N_events_per_sec": (
                     mor["events_per_sec"] if mor else None
                 ),
-                "rounds": rounds,
+                "rounds": len(pairs),
             },
             "detail": "BENCH_DETAIL.json",
         }
@@ -398,14 +470,16 @@ def run_mor_ingest(cores: int, n_convs: int, n_incr: int) -> dict:
     from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
     from tpc_di_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-mor-{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(
+        app_name=f"bench-mor-{cores}", cores=cores, shuffle_partitions=BENCH_JOB_PARTS
+    )
     work = tempfile.mkdtemp(prefix=f"bench_mor_{cores}_")
     try:
         table = bootstrap_table(
             spark, os.path.join(work, "t"), TRANSCRIPT_SCHEMA, num_buckets=64
         )
         orch = CdcOrchestrator(table, buckets_per_group=64, count_input=False)
-        gen_parts = max(cores * 2, 8)
+        gen_parts = BENCH_JOB_PARTS
         orch.apply_batch(historical_batch(spark, n_convs, SCALE_TURNS, partitions=gen_parts), 1)
         ev = incremental_batch(spark, 2, n_incr, n_convs, SCALE_TURNS, skew=2.0, partitions=gen_parts)
         t0 = time.monotonic()

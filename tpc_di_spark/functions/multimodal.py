@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side architecture is real and tested — typed metadata structs,
-Arrow-batched ``mapInPandas`` transforms, partition-size-aware batching —
-while the actual codec work is stubbed behind ``_decode_image_bytes``
-(the decode libraries are not installed in this environment; the stub is
-a deterministic fake so tests can assert the full pipeline shape).
+Arrow-batched ``mapInPandas`` transforms, partition-size-aware batching.
+``_decode_image_bytes`` REALLY decodes binary PPM (P6) and uncompressed
+24-bit BMP with dependency-free pure-Python parsers (pixels, width,
+height); other formats fall back to a deterministic byte-stats stand-in
+(``decoded_width`` NULL marks the fallback) because no codec libraries
+are installed in this environment — swap that fallback for
+PIL/libvips/ffmpeg in production.
 
 Layout convention (one row per asset):
   asset_id: long, modality: string ('image'|'audio'|'video'),
@@ -54,18 +57,94 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", IntegerType(), True),
         StructField("content_hash", StringType(), True),
         StructField("feat_mean", IntegerType(), True),
+        StructField("decoded_width", IntegerType(), True),
+        StructField("decoded_height", IntegerType(), True),
     ]
 )
 
 
+def _decode_ppm_p6(buf: bytes) -> tuple[int, int, bytes] | None:
+    """Binary PPM (P6): 'P6' <w> <h> <maxval> then w*h*3 samples.
+    Header tokens are whitespace-separated with '#' comments."""
+    if not buf.startswith(b"P6"):
+        return None
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(buf):
+        c = buf[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            pos = buf.find(b"\n", pos)
+            if pos < 0:
+                return None
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end : end + 1].isspace():
+                end += 1
+            tokens.append(buf[pos:end])
+            pos = end
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        return None
+    pixels = buf[pos + 1 : pos + 1 + w * h * 3]  # single whitespace after maxval
+    return (w, h, pixels) if len(pixels) == w * h * 3 else None
+
+
+def _decode_bmp_24(buf: bytes) -> tuple[int, int, bytes] | None:
+    """Uncompressed 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    rows padded to 4 bytes, bottom-up when height > 0. Returns the raw
+    BGR samples with row padding stripped."""
+    import struct
+
+    if not buf.startswith(b"BM") or len(buf) < 54:
+        return None
+    (pix_off,) = struct.unpack_from("<I", buf, 10)
+    w, h = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if w <= 0 or h == 0 or bpp != 24 or compression != 0:
+        return None
+    rows = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if pix_off + stride * rows > len(buf):
+        return None
+    out = bytearray()
+    for r in range(rows):
+        start = pix_off + r * stride
+        out += buf[start : start + w * 3]
+    return (w, rows, bytes(out))
+
+
 def _decode_image_bytes(buf: bytes) -> dict:
-    """STUB — real implementation requires an image codec library (not
-    installed here). Deterministic fake: 'decodes' byte statistics so the
-    distributed plumbing (schema, batching, hashing) is fully exercised.
-    Replace the body with PIL/libvips/ffmpeg calls in production."""
+    """Decode an image payload to (mean sample value, width, height).
+
+    REAL pure-Python decoders cover binary PPM (P6) and uncompressed
+    24-bit BMP — dependency-free, so the decode path is exercised on
+    actual pixel data in this environment. Any other format falls back
+    to the original deterministic byte-stats stand-in (``decoded_width``
+    NULL marks the fallback); swap the fallback for PIL/libvips/ffmpeg
+    in a production image with codec libraries installed."""
     if buf is None:
-        return {"n_bytes": None, "feat_mean": None}
-    return {"n_bytes": len(buf), "feat_mean": int(sum(buf) / max(len(buf), 1))}
+        return {"n_bytes": None, "feat_mean": None, "w": None, "h": None}
+    decoded = _decode_ppm_p6(buf) or _decode_bmp_24(buf)
+    if decoded is not None:
+        w, h, pixels = decoded
+        return {
+            "n_bytes": len(buf),
+            "feat_mean": int(sum(pixels) / max(len(pixels), 1)),
+            "w": w,
+            "h": h,
+        }
+    return {
+        "n_bytes": len(buf),
+        "feat_mean": int(sum(buf) / max(len(buf), 1)),
+        "w": None,
+        "h": None,
+    }
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -91,6 +170,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         for b in pdf["content"]
                     ],
                     "feat_mean": [d["feat_mean"] for d in decoded],
+                    "decoded_width": [d["w"] for d in decoded],
+                    "decoded_height": [d["h"] for d in decoded],
                 }
             )
 
