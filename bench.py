@@ -64,12 +64,16 @@ SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
 SCALE_CONVS = int(os.environ.get("BENCH_CDC_CONVS", "30000"))
 SCALE_TURNS = 50
 # Workload size trades measured efficiency against wall time: SMALLER
-# batches look WORSE at 4N (per-batch fixed costs stop amortizing when
-# the same work runs 4x faster). 2.0M/batch keeps the 4N level work-bound
-# (~9s/batch vs ~1s fixed) while letting TWO full pair draws + MoR + the
-# query suite fit the bench budget — r02/r03 showed a single draw samples
-# one noise window and that becomes the round's number.
-SCALE_INCR = int(os.environ.get("BENCH_CDC_INCR", "2000000"))
+# batches look WORSE everywhere (each CoW batch pays an O(live-set)
+# table-rewrite component regardless of batch size — bigger batches
+# amortize it over more events) and worse RELATIVELY at 4N (per-batch
+# fixed costs stop amortizing when the same work runs 4x faster).
+# Measured same-window at N=2/4N=8: 2M/batch 67.6k/171.0k ev/s, 4M/batch
+# 103.8k/273.2k (eff 0.632 -> 0.658). 3M/batch keeps TWO full pair draws
+# + MoR + the query suite inside the bench budget (r02/r03 lesson: a
+# single draw samples one noise window and that becomes the round's
+# number) while taking most of the amortization win.
+SCALE_INCR = int(os.environ.get("BENCH_CDC_INCR", "3000000"))
 # 700s: room for a third pair draw in slow windows. Safe against a
 # harsher external timeout because a complete result line is emitted
 # after every stage AND every 6 suite queries — truncation costs at most
@@ -277,7 +281,7 @@ def main() -> None:
                 break
             # redraw_reserve protects later stages (the second pair, MoR)
             # from being starved by this pair's redraws.
-            cost = 60 if side == "hi" else 130
+            cost = 70 if side == "hi" else 140
             if not budget_left(cost + redraw_reserve + SUITE_RESERVE_SECS):
                 break
             if side == "hi":
@@ -302,7 +306,7 @@ def main() -> None:
     # budget). pair_secs tracks the PURE pair cost (one N + one 4N
     # subprocess, excluding redraws) — it sizes the budget gate for
     # further draws, and counting redraw time would starve them.
-    EST_PAIR_SECS = 170  # pre-measurement estimate for reserve math
+    EST_PAIR_SECS = 180  # pre-measurement estimate for reserve math
     pairs.append(run_pair(redraw_reserve=EST_PAIR_SECS + MOR_RESERVE_SECS))
     # Emit a COMPLETE (queries-empty) result line now: any external
     # timeout from here on still leaves a parseable line with CDC numbers.
