@@ -1800,6 +1800,69 @@ Q48_SQL = _q48_sql()
 
 
 # ---------------------------------------------------------------------------
+# Q49 — incremental aggregate maintenance from the changelog ("binlog out"
+# consumer, lake/incremental_agg.py): the engine replays 3 CDC batches and
+# a ConvStatsConsumer catches up AFTER EACH batch reading only that
+# batch's changelog (created/closed versions); the returned state is the
+# incrementally-maintained per-conversation rollup. The oracle recomputes
+# the same stats from scratch over the full event stream: per-key
+# batch-winners (LWW within batch, batch-id-first across batches), then
+# created = non-D winners, closed = winners whose predecessor was live,
+# live = last winner non-D — so any drift between incremental maintenance
+# and ground truth goes hash-red.
+# ---------------------------------------------------------------------------
+
+def q49_incremental_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.lake.incremental_agg import ConvStatsConsumer
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 3 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q49_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    consumer = ConvStatsConsumer(table, os.path.join(table_dir, "stats"))
+    for b in (1, 2, 3):
+        orch.apply_batch(ev.filter(F.col("_b") == b).drop("_b"), batch_id=b)
+        consumer.refresh()  # per-batch incremental consumption
+    return consumer.state()
+
+
+Q49_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         ts,
+         CAST((event_id // 7) % 3 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT conv_id, turn_idx, b, cdc_flag, ts FROM w WHERE rn = 1),
+seq AS (SELECT *,
+               lag(cdc_flag) OVER (PARTITION BY conv_id, turn_idx ORDER BY b) AS prev_flag,
+               row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY b DESC) AS rdesc
+        FROM winners)
+SELECT conv_id,
+       CAST(SUM(CASE WHEN rdesc = 1 AND cdc_flag <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS live_turns,
+       CAST(SUM(CASE WHEN cdc_flag <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS versions_created,
+       CAST(SUM(CASE WHEN prev_flag IS NOT NULL AND prev_flag <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS versions_closed,
+       MAX(CASE WHEN cdc_flag <> 'D' THEN ts END) AS last_event_ts
+FROM seq
+GROUP BY conv_id
+HAVING SUM(CASE WHEN cdc_flag <> 'D' THEN 1 ELSE 0 END) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q44-Q46 — the reference's file-format intake, contract-exercised
 # (VERDICT r02 #4; S1/S2/S4/S6 were pytest-only): each query materializes
 # a driver table to deterministic text sidecars (sources/
@@ -2003,6 +2066,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_csv_header_scan": q46_csv_header_scan,
     "q47_changelog": q47_changelog,
     "q48_dedup_clusters": q48_dedup_clusters,
+    "q49_incremental_conv_stats": q49_incremental_conv_stats,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2058,6 +2122,7 @@ _ORACLES: dict[str, str] = {
     "q46_csv_header_scan": Q46_SQL,
     "q47_changelog": Q47_SQL,
     "q48_dedup_clusters": Q48_SQL,
+    "q49_incremental_conv_stats": Q49_SQL,
 }
 
 

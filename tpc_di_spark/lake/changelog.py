@@ -126,6 +126,52 @@ def rows_closed_in(
     return table.spark.read.schema(snap.schema).parquet(*paths)
 
 
+def rows_created_since(
+    table: LakeTable, after_batch_id: int, snapshot: Snapshot | None = None
+) -> DataFrame:
+    """All row versions created by batches AFTER ``after_batch_id`` —
+    the one-scan range form of :func:`rows_created_in` (file-skipped via
+    the max side of the per-file batch_id stats; versions later closed
+    are included, read from their history files)."""
+    snap = snapshot or table.snapshot
+    rels = [
+        rel
+        for rel in _all_rels(snap)
+        if (mm := snap.file_stats.get(rel)) is None or mm[1] > after_batch_id
+    ]
+    if not rels:
+        return table.spark.createDataFrame([], snap.schema)
+    paths = [os.path.join(table.path, rel) for rel in rels]
+    return (
+        table.spark.read.schema(snap.schema)
+        .parquet(*paths)
+        .filter(F.col("batch_id") > after_batch_id)
+    )
+
+
+def rows_closed_since(
+    table: LakeTable, after_batch_id: int, snapshot: Snapshot | None = None
+) -> DataFrame:
+    """The versions EXPIRED by batches after ``after_batch_id`` — the
+    one-scan range form of :func:`rows_closed_in`, by closing-commit path
+    tag. PRECONDITION: no compaction/rebucket has rewritten history files
+    since ``after_batch_id`` was committed (rewrites erase the closing
+    tags); callers that cannot guarantee it must loop
+    :func:`rows_closed_in` per batch, which recovers exactness through
+    the committing snapshot (see ``lake/incremental_agg.py``)."""
+    snap = snapshot or table.snapshot
+    rels = [
+        rel
+        for fl in snap.hist_files.values()
+        for rel in fl
+        if (b := _closing_batch_of(rel)) is not None and b > after_batch_id
+    ]
+    if not rels:
+        return table.spark.createDataFrame([], snap.schema)
+    paths = [os.path.join(table.path, rel) for rel in rels]
+    return table.spark.read.schema(snap.schema).parquet(*paths)
+
+
 _TAG_RE = re.compile(r"data/(?:batch|compact-delta)-(\d{6})/")
 
 
