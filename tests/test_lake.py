@@ -225,3 +225,49 @@ def test_crash_during_version_flip_leaves_old_state_live(spark, tmp_path):
     # Retry with the same deterministic tag: idempotent, commits cleanly.
     t.append(mkrows(spark, 20, text="gen1"), commit_tag="crashy")
     assert t.refresh().read().count() == 40
+
+
+def test_sorted_writes_property(spark, tmp_path):
+    """Opt-in write.sort_keys (Iceberg sort-order-on-write): same rows as
+    an unsorted twin, but every data file is key-sorted so parquet
+    row-group stats on conv_id are tight for point-lookup pruning."""
+    import pyarrow.parquet as pq
+
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("I", i, f"conv-{(i * 7) % 5:03d}", (i * 13) % 9, "user", f"txt{i}",
+         t0 + dt.timedelta(seconds=i))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp",
+    )
+    tables = {}
+    for name, props in (("s", {"write.sort_keys": True}), ("p", None)):
+        t = LakeTable.create(
+            spark, str(tmp_path / name), TRANSCRIPT_SCHEMA,
+            num_buckets=2, properties=props,
+        )
+        CdcOrchestrator(t, buckets_per_group=2).apply_batch(ev, 1)
+        tables[name] = t
+
+    key = ["conv_id", "turn_idx", "role", "text"]
+    rows_of = lambda t: sorted(map(tuple, t.read().select(*key).collect()))
+    assert rows_of(tables["s"]) == rows_of(tables["p"]), "sort must not change content"
+
+    checked = 0
+    for fmap in (tables["s"].snapshot.files, tables["s"].snapshot.hist_files):
+        for fl in fmap.values():
+            for rel in fl:
+                tbl = pq.read_table(
+                    str(tmp_path / "s" / rel), columns=["conv_id", "turn_idx"]
+                )
+                got = list(zip(tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist()))
+                assert got == sorted(got), f"{rel} not key-sorted"
+                checked += 1
+    assert checked > 0
