@@ -134,6 +134,28 @@ def test_rows_closed_in_survives_compaction(spark, tmp_path):
     assert after == before == {("a", 0): "a0v2", ("a", 1): "a1v1"}
 
 
+def test_range_reads_equal_per_batch_union(spark, tmp_path):
+    """rows_created_since / rows_closed_since (one-scan range forms) must
+    equal the union of the per-batch reads over the same range."""
+    from tpc_di_spark.lake.changelog import rows_closed_since, rows_created_since
+
+    table = _replayed(spark, tmp_path)
+    key = lambda r: (r.conv_id, r.turn_idx, r.text, r.batch_id)
+    created_range = {key(r) for r in rows_created_since(table, 1).collect()}
+    created_union = {
+        key(r)
+        for b in (2, 3)
+        for r in rows_created_in(table, b).collect()
+    }
+    assert created_range == created_union and created_range
+
+    closed_range = {key(r) for r in rows_closed_since(table, 1).collect()}
+    closed_union = {
+        key(r) for b in (2, 3) for r in rows_closed_in(table, b).collect()
+    }
+    assert closed_range == closed_union and closed_range
+
+
 def test_changed_keys_since_overapproximates_after_compaction(spark, tmp_path):
     """Retention guard (ADVICE r03): compaction rewrites history files
     under a tag with no closing-batch id; a checkpoint that predates the

@@ -60,10 +60,14 @@ def test_any_event_sequence_matches_oracle(spark, tmp_path_factory, counter, eve
     path = str(tmp_path_factory.mktemp("prop") / f"t{counter['n']}")
     table = bootstrap_table(spark, path, TRANSCRIPT_SCHEMA, num_buckets=4)
     orch = CdcOrchestrator(table)
+    from tpc_di_spark.lake.incremental_agg import ConvStatsConsumer
+
+    consumer = ConvStatsConsumer(table, path + "_stats")
     oracle = OracleState(payload_cols=["role", "text", "ts"])
     for bid, chunk in enumerate(chunks, start=1):
         df = spark.createDataFrame(chunk, schema)
         orch.apply_batch(df, bid)
+        consumer.refresh()  # incremental per-batch consumption
         oracle.apply_batch(
             pd.DataFrame(
                 chunk,
@@ -75,6 +79,27 @@ def test_any_event_sequence_matches_oracle(spark, tmp_path_factory, counter, eve
     got = current_state(table).toPandas()
     want = oracle.current_df()
     assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
+
+    # the incrementally-maintained rollup must agree with ground truth
+    # for ANY event sequence (delete-reinsert chains, in-batch LWW, ...)
+    import pyspark.sql.functions as F
+
+    stats = {
+        r.conv_id: (r.live_turns, r.versions_created, r.versions_closed)
+        for r in consumer.state().collect()
+    }
+    truth = {
+        r.conv_id: (r.live, r.created, r.closed)
+        for r in table.read()
+        .groupBy("conv_id")
+        .agg(
+            F.sum(F.col("is_current").cast("long")).alias("live"),
+            F.count(F.lit(1)).alias("created"),
+            F.sum((~F.col("is_current")).cast("long")).alias("closed"),
+        )
+        .collect()
+    }
+    assert stats == truth
 
 
 def test_operators_deterministic_across_partitioning(spark):
