@@ -85,8 +85,10 @@ BENCH_JOB_PARTS = int(os.environ.get("BENCH_JOB_PARTS", str(SCALE_N * 4 * 2)))
 DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
 # Reserve for the post-pair stages when gating extra draws: the query
 # suite must always run (the driver records per-query timings; measured
-# ~170s wall at local[32] incl. session+oracle-tax queries).
-SUITE_RESERVE_SECS = 170
+# ~110-125s wall at local[32] incl. session + oracle-tax queries — 150
+# leaves margin while letting a third pair draw fit when the headline is
+# short).
+SUITE_RESERVE_SECS = 150
 MOR_RESERVE_SECS = 70
 
 # Deliberate-oracle-tax queries, pinned to sf0.01 so the headline suite
