@@ -271,3 +271,77 @@ def test_sorted_writes_property(spark, tmp_path):
                 assert got == sorted(got), f"{rel} not key-sorted"
                 checked += 1
     assert checked > 0
+
+
+def test_schema_evolution_safe_type_widening(spark, tmp_path):
+    """int->long / float->double / decimal precision widening are
+    metadata-only: old narrow files upcast at scan; merges mix old and
+    new rows correctly. Bucket/key columns and narrowings are rejected."""
+    import pytest
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.schemas import LINEAGE_FIELDS
+
+    def sch(cnt_t, score_t):
+        return StructType(
+            [
+                StructField("conv_id", StringType()),
+                StructField("turn_idx", IntegerType()),
+                StructField("role", StringType()),
+                StructField("text", StringType()),
+                StructField("cnt", cnt_t),
+                StructField("score", score_t),
+                StructField("ts", TimestampType()),
+            ]
+            + LINEAGE_FIELDS
+        )
+
+    t0 = dt.datetime(2024, 1, 1)
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch(IntegerType(), FloatType()), num_buckets=2)
+    orch = CdcOrchestrator(t, buckets_per_group=2)
+    ev = "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, role string, text string, cnt int, score float, ts timestamp"
+    orch.apply_batch(
+        spark.createDataFrame([("I", 1, "a", 0, "user", "v1", 7, 1.5, t0)], ev), 1
+    )
+
+    t.evolve_schema(sch(LongType(), DoubleType()), batch_id=2)
+    assert t.schema["cnt"].dataType == LongType()
+    # old narrow file reads back upcast
+    row = current_state(t).collect()[0]
+    assert (row.cnt, row.score) == (7, 1.5)
+
+    # a post-evolution batch with wide values merges against the old file
+    ev2 = ev.replace("cnt int", "cnt long").replace("score float", "score double")
+    orch.apply_batch(
+        spark.createDataFrame(
+            [("U", 2, "a", 0, "user", "v2", 2**40, 2.5, t0 + dt.timedelta(hours=1)),
+             ("I", 3, "b", 1, "user", "w1", 1, 0.5, t0 + dt.timedelta(hours=1))],
+            ev2,
+        ),
+        3,
+    )
+    got = {(r.conv_id, r.turn_idx): (r.cnt, r.score, r.text) for r in current_state(t).collect()}
+    assert got == {("a", 0): (2**40, 2.5, "v2"), ("b", 1): (1, 0.5, "w1")}
+
+    # narrowing and bucket/key widening are rejected
+    with pytest.raises(ValueError, match="may not retype"):
+        t.evolve_schema(sch(IntegerType(), DoubleType()))
+    key_widened = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", LongType()),  # bucket column!
+        ]
+        + [f for f in t.schema.fields if f.name not in ("conv_id", "turn_idx")]
+    )
+    with pytest.raises(ValueError, match="bucket/key"):
+        t.evolve_schema(key_widened)

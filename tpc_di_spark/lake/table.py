@@ -533,23 +533,50 @@ class LakeTable:
         self.snapshot = snap
         return snap
 
-    def evolve_schema(self, new_schema: StructType, batch_id: int | None = None) -> Snapshot:
-        """Metadata-only transactional schema evolution (added columns).
+    @staticmethod
+    def _is_safe_widening(old_t, new_t) -> bool:
+        """Iceberg's safe type-promotion set: int→long, float→double,
+        decimal precision increase at fixed scale. Metadata-only because
+        Spark's parquet reader upcasts narrow physical values at scan
+        time under the widened read schema (verified on Spark 4.1)."""
+        from pyspark.sql.types import DecimalType, DoubleType, FloatType, IntegerType, LongType
 
-        Validates the evolution is additive: every existing column must be
-        present in the new schema with the same type.
+        if isinstance(old_t, IntegerType) and isinstance(new_t, LongType):
+            return True
+        if isinstance(old_t, FloatType) and isinstance(new_t, DoubleType):
+            return True
+        if isinstance(old_t, DecimalType) and isinstance(new_t, DecimalType):
+            return new_t.scale == old_t.scale and new_t.precision >= old_t.precision
+        return False
+
+    def evolve_schema(self, new_schema: StructType, batch_id: int | None = None) -> Snapshot:
+        """Metadata-only transactional schema evolution: added columns and
+        SAFE TYPE WIDENING (int→long, float→double, decimal precision
+        increase). Drops, narrowings, and incompatible retypes are
+        rejected; so is widening a bucket/key column — Spark's hash
+        functions are type-sensitive, so widening a bucketing column
+        would silently remap every row's bucket and split keys across
+        buckets (the layout change that requires ``rebucket`` instead).
         """
         old = self.schema
         new_names = {f.name: f for f in new_schema.fields}
+        protected = set(self.snapshot.bucket_cols) | set(self.key_cols)
         for f_old in old.fields:
             f_new = new_names.get(f_old.name)
             if f_new is None:
                 raise ValueError(f"schema evolution may not drop column {f_old.name!r}")
             if f_new.dataType != f_old.dataType:
-                raise ValueError(
-                    f"schema evolution may not retype {f_old.name!r}: "
-                    f"{f_old.dataType} -> {f_new.dataType}"
-                )
+                if not self._is_safe_widening(f_old.dataType, f_new.dataType):
+                    raise ValueError(
+                        f"schema evolution may not retype {f_old.name!r}: "
+                        f"{f_old.dataType} -> {f_new.dataType}"
+                    )
+                if f_old.name in protected:
+                    raise ValueError(
+                        f"may not widen bucket/key column {f_old.name!r}: hash "
+                        "bucketing is type-sensitive (use rebucket for layout "
+                        "changes)"
+                    )
         return self.commit(
             new_files_by_bucket={},
             mode="append",
