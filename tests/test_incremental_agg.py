@@ -153,3 +153,28 @@ def test_consumer_matches_current_state_counts(spark, tmp_path):
     }
     for conv, (live, _, _) in got.items():
         assert live == direct.get(conv, 0), conv
+
+
+def test_mor_batches_held_until_compaction(spark, tmp_path):
+    """Merge-on-read batches are committed before their rows materialize;
+    the consumer must NOT advance its checkpoint past a pending delta
+    batch (it would lose those rows forever once compaction stamps them
+    with their original batch ids), and must catch up exactly after
+    compaction."""
+    from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
+
+    table, orch = _make(spark, tmp_path)
+    consumer = ConvStatsConsumer(table, str(tmp_path / "stats"))
+    orch.apply_batch(_batch(spark, BATCHES[1]), 1)  # CoW
+    apply_batch_mor(orch, _batch(spark, BATCHES[2]), 2)  # MoR delta
+    apply_batch_mor(orch, _batch(spark, BATCHES[3]), 3)  # MoR delta
+
+    got = _consumed(consumer)
+    assert got == {"a": (2, 2, 0), "b": (1, 1, 0)}, (
+        "only the materialized CoW batch may be consumed while deltas pend"
+    )
+
+    compact_deltas(orch)
+    got = _consumed(consumer)
+    assert got == _full_recompute(table)
+    assert got == {"a": (1, 4, 3), "b": (0, 1, 1), "c": (1, 1, 0)}

@@ -127,30 +127,41 @@ def rows_closed_in(
 
 
 def rows_created_since(
-    table: LakeTable, after_batch_id: int, snapshot: Snapshot | None = None
+    table: LakeTable,
+    after_batch_id: int,
+    snapshot: Snapshot | None = None,
+    upto_batch_id: int | None = None,
 ) -> DataFrame:
-    """All row versions created by batches AFTER ``after_batch_id`` —
-    the one-scan range form of :func:`rows_created_in` (file-skipped via
-    the max side of the per-file batch_id stats; versions later closed
-    are included, read from their history files)."""
+    """All row versions created by batches AFTER ``after_batch_id`` (and,
+    when ``upto_batch_id`` is given, at or below it) — the one-scan range
+    form of :func:`rows_created_in` (file-skipped via the per-file
+    batch_id stats; versions later closed are included, read from their
+    history files)."""
     snap = snapshot or table.snapshot
     rels = [
         rel
         for rel in _all_rels(snap)
-        if (mm := snap.file_stats.get(rel)) is None or mm[1] > after_batch_id
+        if (mm := snap.file_stats.get(rel)) is None
+        or (mm[1] > after_batch_id and (upto_batch_id is None or mm[0] <= upto_batch_id))
     ]
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
-    return (
+    out = (
         table.spark.read.schema(snap.schema)
         .parquet(*paths)
         .filter(F.col("batch_id") > after_batch_id)
     )
+    if upto_batch_id is not None:
+        out = out.filter(F.col("batch_id") <= upto_batch_id)
+    return out
 
 
 def rows_closed_since(
-    table: LakeTable, after_batch_id: int, snapshot: Snapshot | None = None
+    table: LakeTable,
+    after_batch_id: int,
+    snapshot: Snapshot | None = None,
+    upto_batch_id: int | None = None,
 ) -> DataFrame:
     """The versions EXPIRED by batches after ``after_batch_id`` — the
     one-scan range form of :func:`rows_closed_in`, by closing-commit path
@@ -164,7 +175,9 @@ def rows_closed_since(
         rel
         for fl in snap.hist_files.values()
         for rel in fl
-        if (b := _closing_batch_of(rel)) is not None and b > after_batch_id
+        if (b := _closing_batch_of(rel)) is not None
+        and b > after_batch_id
+        and (upto_batch_id is None or b <= upto_batch_id)
     ]
     if not rels:
         return table.spark.createDataFrame([], snap.schema)

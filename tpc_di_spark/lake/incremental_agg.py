@@ -132,12 +132,27 @@ class ConvStatsConsumer:
         committed = sorted(snap.committed_batches)
         ck = self._load_ckpt()
         last_batch = ck["batch_id"] if ck else 0
-        pending = [b for b in committed if b > last_batch]
+
+        # MATERIALIZATION HORIZON: a merge-on-read batch enters
+        # committed_batches while its rows are still un-materialized
+        # delta files (invisible to the changelog until compaction, which
+        # then stamps them with their ORIGINAL batch ids). Advancing the
+        # checkpoint past a pending delta batch would therefore lose its
+        # rows forever — consume only below the oldest pending delta and
+        # catch up after compaction materializes them.
+        from tpc_di_spark.cdc.mor import pending_delta_batches
+
+        pending_mor = [d["batch_id"] for d in pending_delta_batches(self.table)]
+        horizon = min(pending_mor) if pending_mor else None
+        pending = [
+            b for b in committed if b > last_batch and (horizon is None or b < horizon)
+        ]
         if not pending:
             return self.state()
+        upto = pending[-1]
 
         conv = "conv_id"
-        created = rows_created_since(self.table, last_batch, snap)
+        created = rows_created_since(self.table, last_batch, snap, upto_batch_id=upto)
         c_agg = created.groupBy(conv).agg(
             F.count(F.lit(1)).alias("_c_n"), F.max("ts").alias("_c_ts")
         )
@@ -149,7 +164,7 @@ class ConvStatsConsumer:
                 part = rows_closed_in(self.table, b, snap)
                 closed = part if closed is None else closed.unionByName(part)
         else:
-            closed = rows_closed_since(self.table, last_batch, snap)
+            closed = rows_closed_since(self.table, last_batch, snap, upto_batch_id=upto)
         d_agg = closed.groupBy(conv).agg(F.count(F.lit(1)).alias("_d_n"))
 
         delta = c_agg.join(d_agg, conv, "full_outer")
@@ -180,7 +195,6 @@ class ConvStatsConsumer:
             .filter(F.col("versions_created") > 0)
         )
 
-        upto = committed[-1]
         state_rel = f"state-b{upto:06d}"
         merged.repartition(self.state_partitions, conv).write.mode("overwrite").parquet(
             os.path.join(self.state_dir, state_rel)
