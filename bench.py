@@ -282,9 +282,16 @@ def main() -> None:
             if eff() >= 0.8:
                 break
             # redraw_reserve protects later stages (the second pair, MoR)
-            # from being starved by this pair's redraws.
+            # from being starved by this pair's redraws — EXCEPT when the
+            # pair is catastrophically low (< 0.5 is not a plausible
+            # scaling ratio on this job; it means a stalled subprocess,
+            # e.g. the observed 93s batch in a 10s-batch window). A
+            # garbage headline is worse than losing an optional later
+            # stage, so a rescue redraw is gated on the suite reserve
+            # only.
             cost = 70 if side == "hi" else 140
-            if not budget_left(cost + redraw_reserve + SUITE_RESERVE_SECS):
+            reserve = redraw_reserve if eff() >= 0.5 else 0.0
+            if not budget_left(cost + reserve + SUITE_RESERVE_SECS):
                 break
             if side == "hi":
                 d = _pinned_replay(SCALE_N * 4, SCALE_CONVS, SCALE_INCR)
