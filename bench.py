@@ -37,12 +37,26 @@ number):
    the ratio. The job's shuffle/generation partitioning is LEVEL-
    INVARIANT (only the slot count scales between N and 4N).
 
-2. MoR high-rate ingest (O(batch) delta append) at 4N — runs before any
-   third pair draw (it outranks a third sample of the same estimator).
+2. MoR high-rate ingest (O(batch) delta append) at 4N — a DEDICATED
+   small probe (historical load + one 2M-event delta append, ~30-45s)
+   run UNCONDITIONALLY right after pair 1, before any redraw schedule
+   can starve it (r03+r04 both recorded null here because the full-size
+   probe lost its budget gate to pair redraws).
 
-3. Query suite: every driver-contract query from __spark_entry__.py at
+3. Hardware own-scaling probe: a Spark-free memory-bandwidth microbench
+   at the same pinned N and 4N cores, recorded next to the pair samples
+   so every efficiency number ships with its same-window hardware
+   denominator (the box's own 2->8 scaling is 0.78-0.84; per-executor
+   memory buses scale on a real cluster).
+
+4. Query suite: every driver-contract query from __spark_entry__.py at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
    local[$SPARK_GRAFT_CPUS], each forced end-to-end with a noop write.
+
+5. Dedup scale curve (budget-gated): MinHash->LSH->cluster end-to-end
+   over the sf0.1 documents corpus and a deterministically replicated
+   larger corpus, recording wall time + candidate-pair counts — the
+   measured evidence that candidate generation grows linearly.
 """
 
 from __future__ import annotations
@@ -89,7 +103,11 @@ DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
 # leaves margin while letting a third pair draw fit when the headline is
 # short).
 SUITE_RESERVE_SECS = 150
-MOR_RESERVE_SECS = 70
+# Dedicated MoR probe: 2M events through the O(batch) delta-append path
+# on a 4N-pinned subprocess. Small enough (~30-45s incl. historical
+# bootstrap) to run unconditionally after pair 1.
+MOR_INCR = int(os.environ.get("BENCH_MOR_INCR", "2000000"))
+MOR_RESERVE_SECS = 45
 
 # Deliberate-oracle-tax queries, pinned to sf0.01 so the headline suite
 # number tracks engine queries round-over-round instead of the portable-
@@ -308,10 +326,10 @@ def main() -> None:
             "efficiency": round(eff(), 3),
         }
 
-    def emit() -> None:
-        _emit(queries, overridden, pairs, mor)
+    def emit(hw=None) -> None:
+        _emit(queries, overridden, pairs, mor, hw)
 
-    # ---- Stage 1: two scaling pairs (before anything else can eat
+    # ---- Stage 1: first scaling pair (before anything else can eat
     # budget). pair_secs tracks the PURE pair cost (one N + one 4N
     # subprocess, excluding redraws) — it sizes the budget gate for
     # further draws, and counting redraw time would starve them.
@@ -320,38 +338,58 @@ def main() -> None:
     # Emit a COMPLETE (queries-empty) result line now: any external
     # timeout from here on still leaves a parseable line with CDC numbers.
     emit()
+
+    # ---- Stage 2: MoR high-rate ingest — UNCONDITIONAL, immediately
+    # after pair 1 (r03+r04 both recorded null because the full-size
+    # probe's budget gate lost to pair redraws). Dedicated small probe:
+    # 2M events through the O(batch) delta append on a 4N subprocess.
+    mor_rec = _pinned_replay(SCALE_N * 4, SCALE_CONVS, MOR_INCR, with_mor=True)
+    mor = mor_rec.get("mor_ingest")
+    _progress(f"MoR done: {mor}", t_start)
+    emit()
+
+    # ---- Stage 3: hardware own-scaling probe (Spark-free memory-
+    # bandwidth kernel at the same pinned core counts, ~10s): the run's
+    # own measured ceiling, recorded next to the pair samples.
+    hw = _hw_own_scaling()
+    _progress(f"hw own-scaling: {hw}", t_start)
+
     # Second pair when it fits: two independent windows is the minimum
     # honest sample (r02's single draw sampled one bad window and that
     # became the round's number).
-    if budget_left(min(pure_pair_secs) * 1.05 + MOR_RESERVE_SECS + SUITE_RESERVE_SECS - 40):
-        pairs.append(run_pair(redraw_reserve=MOR_RESERVE_SECS))
-        emit()
+    if budget_left(min(pure_pair_secs) * 1.05 + SUITE_RESERVE_SECS - 40):
+        pairs.append(run_pair())
+        emit(hw)
 
-    # ---- Stage 2: MoR high-rate ingest evidence — BEFORE any third pair
-    # (r03 recorded null here; the O(batch) delta-append half of the
-    # scaling story outranks a third draw of the same estimator).
-    if budget_left(MOR_RESERVE_SECS + SUITE_RESERVE_SECS - 30):
-        mor_rec = _pinned_replay(SCALE_N * 4, SCALE_CONVS, SCALE_INCR, with_mor=True)
-        mor = mor_rec.get("mor_ingest")
-        _progress(f"MoR done: {mor}", t_start)
-        emit()
-
-    # ---- Stage 3: a third pair only if the HEADLINE (min of best pair
+    # ---- Stage 4: a third pair only if the HEADLINE (min of best pair
     # and cross-window clean estimate — the recorded number) is still
     # short and it fits.
     if _headline(pairs) < 0.8 and budget_left(
         min(pure_pair_secs) * 1.05 + SUITE_RESERVE_SECS
     ):
         pairs.append(run_pair())
-        emit()
+        emit(hw)
 
-    # ---- Stage 4: query suite (always runs; the driver needs timings).
+    # ---- Stage 5: query suite (always runs; the driver needs timings).
     def suite_progress(t, o):
-        _emit(t, o, pairs, mor)
+        _emit(t, o, pairs, mor, hw)
 
     queries, overridden = run_query_suite(CPUS, on_progress=suite_progress)
     _progress("query suite done", t_start)
-    emit()
+    emit(hw)
+
+    # ---- Stage 6: dedup scale curve (budget-gated): the measured
+    # evidence that MinHash->LSH candidate generation grows linearly.
+    dedup_scale = None
+    if budget_left(15):
+        try:
+            dedup_scale = run_dedup_scale(
+                budget_secs=BENCH_BUDGET_SECS - (time.monotonic() - t_start)
+            )
+            _progress(f"dedup scale: {dedup_scale}", t_start)
+        except Exception as e:  # never lose the result line to this stage
+            dedup_scale = {"error": str(e)[:200]}
+        _emit(queries, overridden, pairs, mor, hw, dedup_scale)
 
 
 def _clean_est(pairs) -> float:
@@ -374,7 +412,7 @@ def _headline(pairs) -> float:
     return round(min(max(p["efficiency"] for p in pairs), _clean_est(pairs)), 3)
 
 
-def _emit(queries, overridden, pairs, mor=None) -> None:
+def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> None:
     all_lo = [d for p in pairs for d in p["N_draws"]]
     all_hi = [d for p in pairs for d in p["4N_draws"]]
     clean_est = _clean_est(pairs)
@@ -424,6 +462,7 @@ def _emit(queries, overridden, pairs, mor=None) -> None:
             "all_N": all_lo,
             "all_4N": all_hi,
             "mor_ingest_4N": mor,
+            "hw_own_scaling_this_run": hw,
             "rounds": len(pairs),
             "job_partitions": BENCH_JOB_PARTS,
             "methodology": (
@@ -460,6 +499,8 @@ def _emit(queries, overridden, pairs, mor=None) -> None:
             },
         },
     }
+    if dedup_scale is not None:
+        detail["dedup_scale_curve"] = dedup_scale
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1)
 
@@ -482,16 +523,145 @@ def _emit(queries, overridden, pairs, mor=None) -> None:
                 "mor_ingest_4N_events_per_sec": (
                     mor["events_per_sec"] if mor else None
                 ),
+                "hw_own_scaling_eff": hw["efficiency"] if hw else None,
                 "rounds": len(pairs),
             },
             "detail": "BENCH_DETAIL.json",
         }
+        if dedup_scale is not None and not isinstance(dedup_scale, dict):
+            out["dedup_scale"] = [
+                {
+                    k: p[k]
+                    for k in ("x", "docs", "candidate_pairs", "secs", "skipped")
+                    if k in p
+                }
+                for p in dedup_scale
+            ]
         return json.dumps(out, separators=(",", ":"))
 
     line = compact(2)
     if len(line) > 1900:  # degrade precision before risking tail clipping
         line = compact(1)
     print(line, flush=True)
+
+
+def run_hw_probe(workers: int, secs: float = 2.5) -> dict:
+    """Spark-free memory-bandwidth kernel: each pinned worker streams a
+    192MB float64 array (numpy sum — ~1 flop per 8 bytes, bandwidth-
+    dominated). Aggregate GB/s at N vs 4N workers measures how much of
+    the box's sub-linear Spark scaling is the hardware itself (shared
+    memory bus), independent of any engine code."""
+    import numpy as np
+    from multiprocessing import Process, Queue
+
+    def worker(q):
+        a = np.ones(24_000_000)  # 192 MB
+        n = 0
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < secs:
+            a.sum()
+            n += 1
+        q.put(n * a.nbytes / (time.monotonic() - t0))
+
+    q: "Queue" = Queue()
+    ps = [Process(target=worker, args=(q,)) for _ in range(workers)]
+    for p in ps:
+        p.start()
+    rates = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return {"workers": workers, "agg_gb_per_sec": round(sum(rates) / 1e9, 2)}
+
+
+def _hw_own_scaling() -> dict:
+    """Run the hw probe in taskset-pinned subprocesses at the same core
+    counts as the CDC pairs; efficiency = (bw_4N / bw_N) / 4 — the
+    same-window hardware denominator for the run's CDC efficiency."""
+    out = {}
+    for c in (SCALE_N, SCALE_N * 4):
+        pin = ["taskset", "-c", f"0-{c - 1}"] if shutil.which("taskset") else []
+        r = subprocess.run(
+            pin + [sys.executable, os.path.abspath(__file__), "--hw-probe", str(c)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        out[str(c)] = json.loads(r.stdout.strip().splitlines()[-1])
+    lo, hi = out[str(SCALE_N)], out[str(SCALE_N * 4)]
+    return {
+        "N": lo,
+        "4N": hi,
+        "efficiency": round(hi["agg_gb_per_sec"] / lo["agg_gb_per_sec"] / 4, 3),
+        "kernel": "numpy float64 sum over 192MB/worker, 1 worker/core, taskset-pinned",
+    }
+
+
+def run_dedup_scale(budget_secs: float) -> list[dict]:
+    """MinHash -> LSH banding -> connected-component clustering end-to-end
+    over the sf0.1 documents corpus and a deterministically EXPANDED
+    corpus (each replica re-tokenized with a per-replica prefix so
+    replicas are NOT near-dups of each other — the expanded corpus
+    reproduces the base corpus's duplicate structure x times instead of
+    manufacturing quadratic cross-replica pairs). Records wall time and
+    candidate-pair counts per scale: near-linear growth is the measured
+    form of the 'candidate generation is linear in corpus size' claim."""
+    import pyspark.sql.functions as F
+
+    from tpc_di_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from tpc_di_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-dedup-scale", cores=CPUS, shuffle_partitions=CPUS)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    results: list[dict] = []
+    t_stage = time.monotonic()
+    for x in (1, 10):
+        if x > 1:
+            # projected cost ~x * base cost; skip (and say so) if it
+            # can't fit — a silently absent point would read as "ran out
+            # of corpus", not "ran out of budget".
+            projected = results[0]["secs"] * x * 1.3
+            if time.monotonic() - t_stage + projected > budget_secs - 10:
+                results.append({"x": x, "skipped": f"budget (projected {projected:.0f}s)"})
+                break
+            d = (
+                docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(x - 1))))
+                .select(
+                    F.concat_ws("-", F.col("doc_id"), F.col("_r")).alias("doc_id"),
+                    F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), " "),
+                                lambda t: F.concat(F.concat_ws("", F.lit("r"), F.col("_r").cast("string"), F.lit("_")), t),
+                            ),
+                            " ",
+                        )
+                    ).alias("text"),
+                )
+            )
+        else:
+            d = docs
+        t0 = time.monotonic()
+        sigs = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=64)
+        pairs = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).persist()
+        n_pairs = pairs.count()
+        clusters = dedup_clusters(d.select("doc_id"), "doc_id", pairs)
+        n_clustered = clusters.filter(~F.col("is_keeper")).count()
+        pairs.unpersist()
+        results.append(
+            {
+                "x": x,
+                "docs": d.count(),
+                "candidate_pairs": n_pairs,
+                "dropped_dups": n_clustered,
+                "secs": round(time.monotonic() - t0, 2),
+            }
+        )
+    spark.stop()
+    return results
 
 
 def run_mor_ingest(cores: int, n_convs: int, n_incr: int) -> dict:
@@ -527,7 +697,9 @@ def run_mor_ingest(cores: int, n_convs: int, n_incr: int) -> dict:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--cdc-replay":
+    if len(sys.argv) > 1 and sys.argv[1] == "--hw-probe":
+        print(json.dumps(run_hw_probe(int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cdc-replay":
         cores, convs, incr = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
         # Small untimed warmup replay: enough rows through every hot path
         # (generation, dedup shuffle, full-outer merge, zstd parquet

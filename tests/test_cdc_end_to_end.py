@@ -205,11 +205,11 @@ def test_crash_resume_mid_batch(spark, tmp_path):
     calls = {"n": 0}
     orig = t_crash.write_data_files_split
 
-    def flaky(df, tag):
+    def flaky(df, tag, **kw):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated kill")
-        return orig(df, tag)
+        return orig(df, tag, **kw)
 
     t_crash.write_data_files_split = flaky
     with pytest.raises(RuntimeError, match="simulated kill"):
@@ -252,11 +252,11 @@ def test_resume_across_geometry_change(spark, tmp_path):
     calls = {"n": 0}
     orig = t.write_data_files_split
 
-    def flaky(df, tag):
+    def flaky(df, tag, **kw):
         if calls["n"] == 1:
             raise RuntimeError("simulated kill")
         calls["n"] += 1
-        return orig(df, tag)
+        return orig(df, tag, **kw)
 
     t.write_data_files_split = flaky
     with pytest.raises(RuntimeError, match="simulated kill"):

@@ -178,3 +178,47 @@ def test_mor_batches_held_until_compaction(spark, tmp_path):
     got = _consumed(consumer)
     assert got == _full_recompute(table)
     assert got == {"a": (1, 4, 3), "b": (0, 1, 1), "c": (1, 1, 0)}
+
+
+def test_bootstrap_after_compaction(spark, tmp_path):
+    """ADVICE r04 (medium): a consumer whose FIRST refresh runs against an
+    already-compacted table must take the per-batch time-travel path —
+    the range scan from batch 0 would skip compaction-rewritten history
+    files (their closing tags are erased) and persist wrong totals into
+    the checkpoint forever."""
+    from tpc_di_spark.lake.maintenance import compact
+
+    table, orch = _make(spark, tmp_path)
+    for b, rows in BATCHES.items():
+        orch.apply_batch(_batch(spark, rows), b)
+    compact(table, max_files_per_bucket=0)  # rewrites ALL history files
+    consumer = ConvStatsConsumer(table, str(tmp_path / "stats"))  # no ckpt yet
+    got = _consumed(consumer)
+    assert got == _full_recompute(table)
+    assert got["b"] == (0, 1, 1), "closes erased by compaction must still count"
+
+
+def test_expired_checkpoint_snapshot_forces_fallback(spark, tmp_path):
+    """ADVICE r04 (low): when expire_snapshots pruned the checkpoint's
+    snapshot, _needs_per_batch_fallback can no longer PROVE no compaction
+    happened — it must warn and take the fallback instead of assuming."""
+    import warnings
+
+    from tpc_di_spark.lake.maintenance import compact, expire_snapshots
+
+    table, orch = _make(spark, tmp_path)
+    consumer = ConvStatsConsumer(table, str(tmp_path / "stats"))
+    orch.apply_batch(_batch(spark, BATCHES[1]), 1)
+    _consumed(consumer)  # checkpoint at batch 1
+    orch.apply_batch(_batch(spark, BATCHES[2]), 2)
+    compact(table, max_files_per_bucket=0)
+    orch.apply_batch(_batch(spark, BATCHES[3]), 3)
+    # prune everything older than the current snapshot: the checkpoint's
+    # snapshot AND the compaction snapshot both leave history()
+    expire_snapshots(table, keep_last=1)
+    reachable = {h["snapshot_id"] for h in table.history()}
+    assert consumer._load_ckpt()["snapshot_id"] not in reachable
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert consumer._needs_per_batch_fallback(consumer._load_ckpt())
+    assert any("expired" in str(x.message) for x in w)

@@ -109,11 +109,11 @@ def test_cdc_crash_resume_on_object_store(spark, tmp_path):
     calls = {"n": 0}
     orig = t_crash.write_data_files_split
 
-    def flaky(df, tag):
+    def flaky(df, tag, **kw):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated kill")
-        return orig(df, tag)
+        return orig(df, tag, **kw)
 
     t_crash.write_data_files_split = flaky
     with pytest.raises(RuntimeError, match="simulated kill"):

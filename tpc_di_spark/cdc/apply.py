@@ -54,11 +54,17 @@ def lww_dedup(
     """
     payload = F.struct(*[F.col(c) for c in events.columns])
     order = F.struct(*[F.col(c) for c in seq_cols])
-    return (
-        events.groupBy(*key_cols)
-        .agg(F.max_by(payload, order).alias("_e"))
-        .select("_e.*")
-    )
+    agg = events.groupBy(*key_cols).agg(F.max_by(payload, order).alias("_e"))
+    # Project key columns from the GROUPING KEYS, not from inside the
+    # struct (values are identical by construction): struct-extracted
+    # columns are fresh attributes Catalyst can't trace to the aggregate's
+    # output partitioning, so a downstream merge join would re-Exchange
+    # the deduped batch even when it is already in the bucket layout.
+    cols = [
+        F.col(c) if c in set(key_cols) else F.col(f"_e.{c}").alias(c)
+        for c in events.columns
+    ]
+    return agg.select(*cols)
 
 
 def align_events(events: DataFrame, table: LakeTable) -> DataFrame:

@@ -54,10 +54,15 @@ def apply_batch_mor(orch: "CdcOrchestrator", events: DataFrame, batch_id: int) -
         return {"batch_id": batch_id, "skipped": "already-committed"}
     orch._maybe_evolve(events, batch_id)
     events = align_events(events, table)
-    deduped = lww_dedup(events, table.key_cols)
+    # One exchange total: bucket-layout repartition feeds the LWW groupBy
+    # (distribution satisfied) AND bucket-co-locates the delta write (no
+    # write-side repartition — see LakeTable._bucket_clustered).
+    deduped = lww_dedup(table.bucket_partitioned(events), table.key_cols)
     with_b = table.with_bucket(deduped)
     tag = f"delta-{batch_id:06d}"
-    files = table.write_data_files(with_b, tag)
+    files = table.write_data_files(
+        with_b, tag, assume_bucket_partitioned=table.spark_aligned
+    )
 
     props = dict(table.snapshot.properties)
     props["delta_batches"] = pending_delta_batches(table) + [

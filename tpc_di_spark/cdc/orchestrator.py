@@ -190,7 +190,20 @@ class CdcOrchestrator:
         events = align_events(events, self.table)
         n_events = events.count() if self.count_input else None
 
-        deduped = lww_dedup(events, self.table.key_cols)
+        # ONE exchange for the whole batch: repartition the events to the
+        # table's bucket layout BEFORE the LWW groupBy. The groupBy's
+        # ClusteredDistribution(key) is satisfied by that partitioning
+        # (no aggregate exchange), the merge join against the bucketed
+        # target scan is satisfied by it (no join exchange), and the
+        # family-split write is bucket-co-located by it (no write
+        # exchange). Trade: the LWW fold loses its pre-shuffle partial
+        # combine, so a key duplicated k times in one batch ships k rows
+        # instead of O(partitions) — CDC batches carry ~1-2 events/key,
+        # and the hot-CONVERSATION skew story is unchanged (full-key
+        # bucketing spreads a hot conversation's turns over all buckets).
+        deduped = lww_dedup(
+            self.table.bucket_partitioned(events), self.table.key_cols
+        )
         deduped = self.table.with_bucket(deduped)
 
         if self.buckets_per_group >= self.table.num_buckets:
@@ -246,17 +259,26 @@ class CdcOrchestrator:
                 # Only the CURRENT file family joins the merge: history
                 # files are immutable closed versions the merge can never
                 # touch — skipping them halves-or-better the per-batch
-                # scan as history accumulates.
-                tgt = self.table.with_bucket(
-                    self.table.read(buckets=buckets, family="current")
+                # scan as history accumulates. read_bucketed exposes the
+                # group's buckets as a catalog bucketed scan so the merge
+                # join adds no Exchange above the table side.
+                tgt, _ = self.table.read_bucketed(
+                    family="current", buckets=buckets
                 )
                 merged = merge_batch_rows(
-                    tgt.drop(LakeTable.BUCKET_COL), src.drop(LakeTable.BUCKET_COL),
-                    batch_id, self.table,
+                    tgt, src.drop(LakeTable.BUCKET_COL), batch_id, self.table,
                 )
                 tag = f"batch-{batch_id:06d}/group-{gi:03d}"
                 files, hist_delta = self.table.write_data_files_split(
-                    self.table.with_bucket(merged), tag
+                    self.table.with_bucket(merged), tag,
+                    # The merge join's inputs are both in the bucket
+                    # layout (bucketed scan / bucket_partitioned events
+                    # restricted to this group), so its output is
+                    # physically bucket-co-located — see
+                    # LakeTable._bucket_clustered for why this holds and
+                    # why a violated assumption costs extra files, never
+                    # wrong rows.
+                    assume_bucket_partitioned=self.table.spark_aligned,
                 )
                 lineage_rows, fstats = self._lineage_rows(files, hist_delta)
                 n_src = sum(bucket_counts[b] for b in buckets)
@@ -340,13 +362,19 @@ class CdcOrchestrator:
             # so the merge neither reads nor rewrites it (the r02 shape
             # re-read AND re-wrote every closed version every batch; at
             # the 10^10 design point history is the bulk of the table).
-            tgt = self.table.read(family="current")
+            # Bucketed scan: the full-outer merge join plans with NO
+            # Exchange above the table side, and its output stays
+            # physically bucket-partitioned so the write skips its
+            # repartition too — the batch's only shuffle is the incoming
+            # events' bucket_partitioned exchange in apply_batch.
+            tgt, _ = self.table.read_bucketed(family="current")
             merged = merge_batch_rows(
                 tgt, deduped.drop(LakeTable.BUCKET_COL), batch_id, self.table
             )
             tag = f"batch-{batch_id:06d}/group-000"
             files, hist_delta = self.table.write_data_files_split(
-                self.table.with_bucket(merged), tag
+                self.table.with_bucket(merged), tag,
+                assume_bucket_partitioned=self.table.spark_aligned,
             )
             lineage_rows, fstats = self._lineage_rows(files, hist_delta)
             metrics = {
@@ -429,12 +457,16 @@ class CdcOrchestrator:
         from tpc_di_spark.cdc.mor import pending_delta_batches
 
         t0 = _time.monotonic()
-        deduped = lww_dedup(align_events(events, self.table), self.table.key_cols)
-        tgt = self.table.read(family="current")
+        deduped = lww_dedup(
+            self.table.bucket_partitioned(align_events(events, self.table)),
+            self.table.key_cols,
+        )
+        tgt, _ = self.table.read_bucketed(family="current")
         merged = merge_batch_rows(tgt, deduped, orig_batch_id, self.table)
         tag = f"compact-delta-{orig_batch_id:06d}"
         files, hist_delta = self.table.write_data_files_split(
-            self.table.with_bucket(merged), tag
+            self.table.with_bucket(merged), tag,
+            assume_bucket_partitioned=self.table.spark_aligned,
         )
         replaced = set(self.table.snapshot.files) | set(files)
 

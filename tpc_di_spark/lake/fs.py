@@ -97,6 +97,18 @@ class TableFS:
         "range unknown, cannot prune"."""
         raise NotImplementedError
 
+    def link_view(self, srcs: list[str], dst_dir: str, names: list[str]) -> bool:
+        """OPTIONAL capability: atomically materialize ``dst_dir``
+        exposing ``srcs[i]`` under file name ``names[i]`` WITHOUT copying
+        bytes (hardlinks on POSIX; links also pin the source inodes so a
+        concurrent compaction cannot invalidate a running scan). Used by
+        ``LakeTable.read_bucketed`` to present a snapshot's file list as
+        the flat directory Spark's bucketed-table scan expects. Returns
+        False when the backend has no cheap link primitive (object
+        stores have none — callers fall back to the plain read path).
+        Idempotent: an existing ``dst_dir`` is a no-op returning True."""
+        return False
+
 
 def _pyarrow_minmax(path: str, col: str) -> list | None:
     import pyarrow.parquet as pq
@@ -166,6 +178,19 @@ class LocalFS(TableFS):
 
     def parquet_column_minmax(self, path: str, col: str) -> list | None:
         return _pyarrow_minmax(path, col)
+
+    def link_view(self, srcs: list[str], dst_dir: str, names: list[str]) -> bool:
+        if os.path.isdir(dst_dir):
+            return True
+        tmp = f"{dst_dir}.tmp.{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        for src, name in zip(srcs, names):
+            os.link(src, os.path.join(tmp, name))
+        try:
+            os.rename(tmp, dst_dir)
+        except OSError:  # lost a same-process race; the winner is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+        return True
 
 
 class ObjectStoreFS(TableFS):

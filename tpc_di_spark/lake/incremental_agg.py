@@ -115,11 +115,39 @@ class ConvStatsConsumer:
 
     # -- refresh ------------------------------------------------------------
 
-    def _compacted_since(self, snapshot_id: int) -> bool:
+    def _needs_per_batch_fallback(self, ck: dict | None) -> bool:
+        """True when the one-scan closed-side read can't be trusted and
+        the refresh must take the per-batch time-travel path:
+
+        - a compact/rebucket snapshot exists after the checkpoint
+          (compaction rewrites history files and erases their closing-
+          batch path tags);
+        - there is NO checkpoint yet but history shows any compaction
+          (bootstrap over an already-compacted table — the range scan
+          from batch 0 would silently skip every rewritten file);
+        - the checkpoint's snapshot is no longer reachable in
+          ``table.history()`` (``expire_snapshots`` pruned it): absence
+          of evidence is not evidence of no compaction, so fall back —
+          and warn, since exactness now depends on the per-batch
+          snapshots still being within the retention window (if they
+          were expired too, the time-travel reads raise loudly).
+        """
+        hist = self.table.history()
+        since = ck["snapshot_id"] if ck else -1
+        if ck is not None and not any(h["snapshot_id"] <= since for h in hist):
+            import warnings
+
+            warnings.warn(
+                f"consumer checkpoint snapshot {since} was expired from "
+                f"{self.table.path}; forcing the per-batch time-travel "
+                "refresh path (exact only within snapshot retention)",
+                stacklevel=3,
+            )
+            return True
         return any(
-            h["snapshot_id"] > snapshot_id
+            h["snapshot_id"] > since
             and h["summary"].get("operation") in ("compact", "rebucket")
-            for h in self.table.history()
+            for h in hist
         )
 
     def refresh(self) -> DataFrame:
@@ -156,7 +184,7 @@ class ConvStatsConsumer:
         c_agg = created.groupBy(conv).agg(
             F.count(F.lit(1)).alias("_c_n"), F.max("ts").alias("_c_ts")
         )
-        if ck is not None and self._compacted_since(ck["snapshot_id"]):
+        if self._needs_per_batch_fallback(ck):
             # exact fallback: per-batch closed reads time-travel to each
             # committing snapshot (the range-scan tags were rewritten).
             closed = None

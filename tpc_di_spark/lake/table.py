@@ -26,12 +26,20 @@ built from first principles with the same guarantees):
   the split every batch re-read and re-wrote all of it; with it,
   per-batch I/O is O(live set + batch), not O(full lineage).
 - **Key-hash bucketing = salting**: rows are bucketed by
-  ``pmod(xxhash64(conv_id, turn_idx), B)``. Hashing the *full* business key
-  (not just ``conv_id``) is the salting strategy for hot conversations —
-  a conversation with 10^6 turns spreads uniformly over all buckets instead
+  ``pmod(hash(conv_id, turn_idx), B)`` — Spark's own Murmur3 hash, the
+  exact ``HashPartitioning.partitionIdExpression`` Catalyst uses for
+  shuffle placement. Hashing the *full* business key (not just
+  ``conv_id``) is the salting strategy for hot conversations — a
+  conversation with 10^6 turns spreads uniformly over all buckets instead
   of melting one partition, while every version of a single
   ``(conv_id, turn_idx)`` key still lands in exactly one bucket, so MERGE
-  joins stay bucket-local.
+  joins stay bucket-local. Aligning the on-disk bucket function with
+  Spark's shuffle hash is what lets :meth:`LakeTable.read_bucketed`
+  register the current file family as a catalog bucketed table whose scan
+  reports ``HashPartitioning(bucket_cols, B)`` — the merge join then
+  needs NO Exchange above the table scan, and the merge output is already
+  physically bucket-partitioned so the write needs no repartition either
+  (one shuffle per batch: the incoming events).
 - **Schema evolution**: the snapshot carries the table schema; adding a
   column is a metadata-only commit. Old files are read through the new
   schema (Spark null-fills missing parquet columns), mirroring Iceberg's
@@ -174,6 +182,13 @@ class LakeTable:
             raise FileExistsError(f"table already exists at {path}")
         fs.makedirs(meta)
         fs.makedirs(os.path.join(path, _DATA))
+        # New tables bucket with Spark's Murmur3 (see module docstring:
+        # this is what makes bucketed-scan merges Exchange-free). The
+        # property is stamped at create time so tables written under the
+        # earlier xxhash64 layout keep reading correctly (bucket_expr
+        # honors whichever function laid the files out).
+        props = dict(properties or {})
+        props.setdefault("bucket.hash", "murmur3")
         snap = Snapshot(
             snapshot_id=0,
             parent_id=None,
@@ -184,7 +199,7 @@ class LakeTable:
             files={},
             committed_batches=[],
             summary={"operation": "create"},
-            properties=properties or {},
+            properties=props,
         )
         snap_name = cls._snap_name(0)
         fs.write_text(os.path.join(meta, snap_name), json.dumps(snap.to_json()))
@@ -261,10 +276,38 @@ class LakeTable:
     # ---------------------------------------------------------------- reads
     def bucket_expr(self, prefix: str = "") -> F.Column:
         cols = [F.col(prefix + c) for c in self.snapshot.bucket_cols]
-        return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
+        if self.snapshot.properties.get("bucket.hash") == "murmur3":
+            # F.hash == Murmur3Hash(seed 42) == the hash inside Spark's
+            # HashPartitioning.partitionIdExpression, so bucket id b ==
+            # the partition id of ``repartition(num_buckets, *bucket_cols)``
+            # and of a catalog bucketed scan. Verified empirically on
+            # Spark 4.1 (zero mismatches over 100k keys).
+            h = F.hash(*cols)
+        else:  # legacy layout (tables created before round 5)
+            h = F.xxhash64(*cols)
+        return F.pmod(h, F.lit(self.num_buckets)).cast("int")
 
     def with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(self.BUCKET_COL, self.bucket_expr())
+
+    def bucket_partitioned(self, df: DataFrame) -> DataFrame:
+        """Repartition ``df`` into exactly the table's bucket layout
+        (``HashPartitioning(bucket_cols, num_buckets)``). Under the
+        murmur3 bucket function, partition i holds precisely bucket i's
+        rows — the ONE shuffle a CDC batch needs: the downstream LWW
+        groupBy, the merge join against a bucketed scan, and the
+        family-split write are all satisfied by this partitioning and add
+        no further Exchange."""
+        return df.repartition(
+            self.num_buckets, *[F.col(c) for c in self.snapshot.bucket_cols]
+        )
+
+    @property
+    def spark_aligned(self) -> bool:
+        """True when the on-disk bucket function equals Spark's shuffle
+        hash (murmur3), i.e. bucketed-scan reads and repartition-free
+        writes are valid."""
+        return self.snapshot.properties.get("bucket.hash") == "murmur3"
 
     def read(
         self,
@@ -311,8 +354,130 @@ class LakeTable:
         # Explicit schema => old files null-fill evolved columns.
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def read_bucketed(
+        self,
+        family: str = "current",
+        buckets: Iterable[int] | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """Read a file family through a catalog-registered BUCKETED table
+        so the scan reports ``HashPartitioning(bucket_cols, num_buckets)``
+        and a merge join adds NO Exchange above it (the plan-level
+        equivalent of Iceberg's storage-partitioned joins). Returns
+        ``(df, True)`` when the bucketed path applied, ``(plain_read,
+        False)`` otherwise (legacy xxhash64 layout, non-local FS, or an
+        empty family).
+
+        Mechanics: Spark assigns a scanned file to bucket b from the
+        ``_NNNNN`` suffix of its file name and trusts the data was
+        hash-placed by ``pmod(murmur3(bucket_cols), num_buckets)`` — which
+        is exactly this table's murmur3 bucket function (``bucket_expr``).
+        The snapshot's file list is exposed as one flat directory of
+        HARDLINKS named with their bucket suffix (per snapshot+family, so
+        time-travel isolation is free), and an external bucketed table is
+        registered over it. Hardlinks cost O(files) driver-side metadata
+        ops and pin the inodes, so a later compaction can't invalidate a
+        running scan; stale views + catalog entries of older snapshots
+        are dropped on each call (single-writer contract).
+        """
+        snap = self.snapshot
+        fmap = snap.files if family == "current" else snap.hist_files
+        if family not in ("current", "history"):
+            raise ValueError(f"read_bucketed supports one family, got {family!r}")
+        wanted = (
+            set(fmap)
+            if buckets is None
+            else {str(b) for b in buckets} & set(fmap)
+        )
+        pairs = [(b, rel) for b in sorted(wanted) for rel in fmap[b]]
+        if not pairs or not self.spark_aligned:
+            return self.read(buckets=buckets, family=family), False
+
+        import hashlib
+
+        token = (
+            "all"
+            if buckets is None
+            else hashlib.md5(",".join(sorted(wanted)).encode()).hexdigest()[:10]
+        )
+        view_root = os.path.join(self.path, _META, "bview")
+        view = os.path.join(
+            view_root, f"s{snap.snapshot_id:08d}-{family}-{token}"
+        )
+        linked = self.fs.link_view(
+            [os.path.join(self.path, rel) for _b, rel in pairs],
+            view,
+            [f"part-{i:05d}-v_{int(b):05d}.parquet" for i, (b, _r) in enumerate(pairs)],
+        )
+        if not linked:  # backend without a link primitive (object stores)
+            return self.read(buckets=buckets, family=family), False
+        prefix = f"lake_bt_{hashlib.md5(self.path.encode()).hexdigest()[:8]}_"
+        name = f"{prefix}s{snap.snapshot_id}_{family}_{token}"
+        if not self.spark.catalog.tableExists(name):
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in snap.schema.fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in snap.bucket_cols)
+            self.spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({bcols}) INTO {snap.num_buckets} BUCKETS "
+                f"LOCATION '{view}'"
+            )
+        self._drop_stale_bucket_views(prefix, keep_name=name, keep_view=view)
+        return self.spark.table(name), True
+
+    def _drop_stale_bucket_views(
+        self, prefix: str, keep_name: str, keep_view: str
+    ) -> None:
+        """Unregister catalog entries and unlink hardlink views from older
+        snapshots. Dropping promptly matters: a view's hardlinks keep the
+        old snapshot's data-file inodes alive even after compaction
+        deletes the originals."""
+        for t in self.spark.catalog.listTables():
+            if t.name.startswith(prefix) and t.name != keep_name:
+                self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        view_root = os.path.join(self.path, _META, "bview")
+        if self.fs.exists(view_root):
+            keep = os.path.basename(keep_view)
+            for entry in self.fs.listdir(view_root):
+                if entry != keep:
+                    self.fs.rmtree(os.path.join(view_root, entry))
+
     # ---------------------------------------------------------------- writes
-    def write_data_files(self, df_with_bucket: DataFrame, commit_tag: str) -> dict[str, list[str]]:
+    def _bucket_clustered(
+        self, df_with_bucket: DataFrame, assume_bucket_partitioned: bool
+    ) -> DataFrame:
+        """Cluster rows by bucket before a partitioned write: without
+        this, every shuffle partition emits a file into every bucket dir
+        (cores x buckets tiny files — file-open overhead then *grows*
+        with parallelism). One exchange keyed on the bucket id keeps the
+        file count O(num_buckets) at any core count. Size num_buckets >=
+        cluster parallelism at scale.
+
+        ``assume_bucket_partitioned=True`` skips that exchange: callers
+        set it when the plan upstream already placed each bucket's rows
+        in one partition — a ``bucket_partitioned`` batch, or a merge
+        join whose inputs were key-partitioned to the bucket layout
+        (bucketed scan + ``bucket_partitioned`` events). The contract is
+        PHYSICAL co-location only, which survives operators Catalyst
+        reports as UnknownPartitioning (a full-outer SMJ's output rows
+        never leave the partition their key hashed to). Worst case if an
+        upstream plan change breaks the assumption: the write emits more
+        files per bucket — never wrong rows — because the partitionBy
+        listing picks up every file regardless of which task wrote it.
+        """
+        if assume_bucket_partitioned:
+            return df_with_bucket
+        return df_with_bucket.repartition(
+            self.num_buckets, F.col(self.BUCKET_COL)
+        )
+
+    def write_data_files(
+        self,
+        df_with_bucket: DataFrame,
+        commit_tag: str,
+        assume_bucket_partitioned: bool = False,
+    ) -> dict[str, list[str]]:
         """Write ``df`` (already carrying _bucket) as data files under a
         unique commit dir; return {bucket: [relative paths]}.
 
@@ -324,14 +489,8 @@ class LakeTable:
         if self.fs.exists(out_dir):
             self.fs.rmtree(out_dir)  # partial output from a killed attempt
         (
-            # Cluster rows by bucket before the partitioned write: without
-            # this, every shuffle partition emits a file into every bucket
-            # dir (cores x buckets tiny files — file-open overhead then
-            # *grows* with parallelism). One extra exchange keyed on the
-            # bucket id keeps the file count O(num_buckets) at any core
-            # count. Size num_buckets >= cluster parallelism at scale.
             self._key_sorted(
-                df_with_bucket.repartition(self.num_buckets, F.col(self.BUCKET_COL))
+                self._bucket_clustered(df_with_bucket, assume_bucket_partitioned)
             )
             .write.mode("overwrite")
             .partitionBy(self.BUCKET_COL)
@@ -350,13 +509,21 @@ class LakeTable:
         ingest throughput on this box, so read-heavy tables opt in and
         the high-rate ingest default stays unsorted (MoR compaction is
         the natural place to sort later instead)."""
-        if not self.snapshot.properties.get("write.sort_keys", False):
+        # Property values may arrive as strings (CLI/env/config text):
+        # "false"/"0"/"" must read as DISABLED, not truthy-enabled.
+        v = self.snapshot.properties.get("write.sort_keys", False)
+        if isinstance(v, str):
+            v = v.strip().lower() not in ("", "false", "0", "no", "off")
+        if not v:
             return df_with_bucket
         cols = [self.BUCKET_COL, *extra, *self.key_cols]
         return df_with_bucket.sortWithinPartitions(*cols)
 
     def write_data_files_split(
-        self, df_with_bucket: DataFrame, commit_tag: str
+        self,
+        df_with_bucket: DataFrame,
+        commit_tag: str,
+        assume_bucket_partitioned: bool = False,
     ) -> tuple[dict[str, list[str]], dict[str, list[str]]]:
         """Write ``df`` split into the two file families in ONE pass:
         rows with ``is_current=false`` land in history files, everything
@@ -377,8 +544,9 @@ class LakeTable:
             # _ic leads the sort so each family's rows are contiguous
             # (one open writer per family, not interleaved re-opens).
             self._key_sorted(
-                df_with_bucket.withColumn("_ic", ic).repartition(
-                    self.num_buckets, F.col(self.BUCKET_COL)
+                self._bucket_clustered(
+                    df_with_bucket.withColumn("_ic", ic),
+                    assume_bucket_partitioned,
                 ),
                 extra=("_ic",),
             )
