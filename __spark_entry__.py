@@ -1863,6 +1863,91 @@ HAVING SUM(CASE WHEN cdc_flag <> 'D' THEN 1 ELSE 0 END) > 0
 
 
 # ---------------------------------------------------------------------------
+# Q50 — DECLARATIVE incremental materialized view (lake/incremental_view
+# .IncrementalView, VERDICT r04 #3): a per-ROLE rollup (live turn count,
+# live character sum, version churn, activity watermark) declared as an
+# aggregate spec and maintained across the FULL engine surface in one
+# query — batch 1 copy-on-write, batch 2 merge-on-read (the view holds
+# below the pending delta, catches up at compaction), batch 3 CoW, then
+# a full table compaction that erases closing tags (forcing the
+# per-batch time-travel path). The oracle recomputes the same rollup
+# from scratch over the event stream: any drift in the view's
+# invertible-sum maintenance (update nets new-old, delete subtracts) or
+# watermark monotonicity goes hash-red.
+# ---------------------------------------------------------------------------
+
+def q50_incremental_role_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.lake.incremental_view import IncrementalView
+    from tpc_di_spark.lake.maintenance import compact
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 3 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q50_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    view = IncrementalView(
+        table,
+        os.path.join(table_dir, "view"),
+        key_cols=["role"],
+        aggs=[
+            ("count_live", None, "live_turns"),
+            ("sum_live", "cast(length(text) as bigint)", "live_chars"),
+            ("count_versions", None, "versions_created"),
+            ("count_closed", None, "versions_closed"),
+            ("max_created", "ts", "last_event_ts"),
+        ],
+    )
+    batch = lambda b: ev.filter(F.col("_b") == b).drop("_b")  # noqa: E731
+    orch.apply_batch(batch(1), batch_id=1)
+    view.refresh()  # CoW consumption
+    apply_batch_mor(orch, batch(2), batch_id=2)
+    view.refresh()  # holds below the pending MoR delta (horizon)
+    compact_deltas(orch)
+    view.refresh()  # catches up through the materialized batch 2
+    orch.apply_batch(batch(3), batch_id=3)
+    compact(table, max_files_per_bucket=0)  # erases closing tags
+    view.refresh()  # per-batch time-travel fallback path
+    return view.state()
+
+
+Q50_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 3 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT conv_id, turn_idx, b, cdc_flag, role, text, ts FROM w WHERE rn = 1),
+seq AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY b DESC) AS rdesc
+        FROM winners)
+SELECT role,
+       CAST(SUM(CASE WHEN rdesc = 1 AND cdc_flag <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS live_turns,
+       CAST(SUM(CASE WHEN rdesc = 1 AND cdc_flag <> 'D' THEN length(text) ELSE 0 END) AS BIGINT) AS live_chars,
+       CAST(SUM(CASE WHEN cdc_flag <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS versions_created,
+       CAST(SUM(CASE WHEN cdc_flag <> 'D' AND rdesc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS versions_closed,
+       MAX(CASE WHEN cdc_flag <> 'D' THEN ts END) AS last_event_ts
+FROM seq
+GROUP BY role
+HAVING SUM(CASE WHEN cdc_flag <> 'D' THEN 1 ELSE 0 END) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q44-Q46 — the reference's file-format intake, contract-exercised
 # (VERDICT r02 #4; S1/S2/S4/S6 were pytest-only): each query materializes
 # a driver table to deterministic text sidecars (sources/
@@ -2067,6 +2152,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_changelog": q47_changelog,
     "q48_dedup_clusters": q48_dedup_clusters,
     "q49_incremental_conv_stats": q49_incremental_conv_stats,
+    "q50_incremental_role_view": q50_incremental_role_view,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2123,6 +2209,7 @@ _ORACLES: dict[str, str] = {
     "q47_changelog": Q47_SQL,
     "q48_dedup_clusters": Q48_SQL,
     "q49_incremental_conv_stats": Q49_SQL,
+    "q50_incremental_role_view": Q50_SQL,
 }
 
 

@@ -523,7 +523,11 @@ def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> No
                 "mor_ingest_4N_events_per_sec": (
                     mor["events_per_sec"] if mor else None
                 ),
-                "hw_own_scaling_eff": hw["efficiency"] if hw else None,
+                "hw_floor_ceiling": (
+                    [hw["bandwidth_bound_floor"], hw["compute_bound_ceiling"]]
+                    if hw
+                    else None
+                ),
                 "rounds": len(pairs),
             },
             "detail": "BENCH_DETAIL.json",
@@ -545,23 +549,38 @@ def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> No
     print(line, flush=True)
 
 
-def run_hw_probe(workers: int, secs: float = 2.5) -> dict:
-    """Spark-free memory-bandwidth kernel: each pinned worker streams a
-    192MB float64 array (numpy sum — ~1 flop per 8 bytes, bandwidth-
-    dominated). Aggregate GB/s at N vs 4N workers measures how much of
-    the box's sub-linear Spark scaling is the hardware itself (shared
-    memory bus), independent of any engine code."""
+def run_hw_probe(workers: int, secs: float = 2.0) -> dict:
+    """Spark-free hardware probe, two kernels per pinned worker:
+
+    - ``stream``: float64 sum over a 192MB array — DRAM-bandwidth-bound
+      (~1 flop per 8 bytes). Its N->4N scaling is the box's WORST case
+      (every byte rides the one shared memory bus).
+    - ``compute``: repeated sqrt over a 2MB cache-resident array — its
+      scaling is the box's BEST case (~1.0, no shared resource).
+
+    The two bracket the machine: a mixed workload like the CDC replay
+    lands between them according to its bytes/flop mix, so every
+    recorded CDC efficiency ships with the same-window floor/ceiling it
+    should be judged against."""
     import numpy as np
     from multiprocessing import Process, Queue
 
     def worker(q):
-        a = np.ones(24_000_000)  # 192 MB
-        n = 0
-        t0 = time.monotonic()
-        while time.monotonic() - t0 < secs:
-            a.sum()
-            n += 1
-        q.put(n * a.nbytes / (time.monotonic() - t0))
+        big = np.ones(24_000_000)  # 192 MB
+        small = np.ones(250_000)  # 2 MB, cache-resident
+        out = np.empty_like(small)
+        res = {}
+        for name, arr in (("stream", big), ("compute", small)):
+            n = 0
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < secs:
+                if name == "stream":
+                    arr.sum()
+                else:
+                    np.sqrt(arr, out=out)
+                n += 1
+            res[name] = n * arr.nbytes / (time.monotonic() - t0)
+        q.put(res)
 
     q: "Queue" = Queue()
     ps = [Process(target=worker, args=(q,)) for _ in range(workers)]
@@ -570,13 +589,18 @@ def run_hw_probe(workers: int, secs: float = 2.5) -> dict:
     rates = [q.get() for _ in ps]
     for p in ps:
         p.join()
-    return {"workers": workers, "agg_gb_per_sec": round(sum(rates) / 1e9, 2)}
+    return {
+        "workers": workers,
+        "stream_gb_per_sec": round(sum(r["stream"] for r in rates) / 1e9, 2),
+        "compute_gb_per_sec": round(sum(r["compute"] for r in rates) / 1e9, 2),
+    }
 
 
 def _hw_own_scaling() -> dict:
     """Run the hw probe in taskset-pinned subprocesses at the same core
-    counts as the CDC pairs; efficiency = (bw_4N / bw_N) / 4 — the
-    same-window hardware denominator for the run's CDC efficiency."""
+    counts as the CDC pairs. Records the bandwidth-bound floor and the
+    compute-bound ceiling of N->4N scaling on this box, same-window with
+    the CDC pairs they contextualize."""
     out = {}
     for c in (SCALE_N, SCALE_N * 4):
         pin = ["taskset", "-c", f"0-{c - 1}"] if shutil.which("taskset") else []
@@ -589,8 +613,17 @@ def _hw_own_scaling() -> dict:
     return {
         "N": lo,
         "4N": hi,
-        "efficiency": round(hi["agg_gb_per_sec"] / lo["agg_gb_per_sec"] / 4, 3),
-        "kernel": "numpy float64 sum over 192MB/worker, 1 worker/core, taskset-pinned",
+        "bandwidth_bound_floor": round(
+            hi["stream_gb_per_sec"] / lo["stream_gb_per_sec"] / 4, 3
+        ),
+        "compute_bound_ceiling": round(
+            hi["compute_gb_per_sec"] / lo["compute_gb_per_sec"] / 4, 3
+        ),
+        "kernel": (
+            "per pinned core: float64 sum over 192MB (DRAM stream) and "
+            "sqrt over 2MB cache-resident (compute); a mixed job lands "
+            "between floor and ceiling by its bytes/flop mix"
+        ),
     }
 
 
@@ -620,10 +653,12 @@ def run_dedup_scale(budget_secs: float) -> list[dict]:
     t_stage = time.monotonic()
     for x in (1, 10):
         if x > 1:
-            # projected cost ~x * base cost; skip (and say so) if it
-            # can't fit — a silently absent point would read as "ran out
-            # of corpus", not "ran out of budget".
-            projected = results[0]["secs"] * x * 1.3
+            # Projected cost: measured 10x wall is ~3.8x the 1x point
+            # (the base point carries session warmup + fixed stage
+            # overheads); 0.5x/replica with margin. Skip (and say so) if
+            # it can't fit — a silently absent point would read as "ran
+            # out of corpus", not "ran out of budget".
+            projected = results[0]["secs"] * x * 0.5
             if time.monotonic() - t_stage + projected > budget_secs - 10:
                 results.append({"x": x, "skipped": f"budget (projected {projected:.0f}s)"})
                 break

@@ -1,0 +1,176 @@
+"""Declarative incremental materialized views (lake/incremental_view):
+exact vs full recompute per batch, sum inversion under update/delete,
+watermark monotonicity, CoW+MoR+compaction interplay, spec validation."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from tpc_di_spark.cdc import CdcOrchestrator
+from tpc_di_spark.cdc.orchestrator import bootstrap_table
+from tpc_di_spark.lake.incremental_view import IncrementalView
+from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+EV = "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, role string, text string, ts timestamp"
+T0 = dt.datetime(2024, 1, 1)
+
+BATCHES = {
+    1: [
+        ("I", 1, "a", 0, "user", "hello", T0),
+        ("I", 2, "a", 1, "assistant", "hi there friend", T0),
+        ("I", 3, "b", 0, "user", "xx", T0),
+    ],
+    # update (a,0) text longer; insert (c,0); delete (b,0)
+    2: [
+        ("U", 4, "a", 0, "user", "hello hello hello", T0 + dt.timedelta(hours=1)),
+        ("I", 5, "c", 0, "assistant", "ok", T0 + dt.timedelta(hours=1)),
+        ("D", 6, "b", 0, None, None, T0 + dt.timedelta(hours=1)),
+    ],
+    # delete (a,1); U with NULL text retains prior text (P7 retention)
+    3: [
+        ("D", 7, "a", 1, None, None, T0 + dt.timedelta(hours=2)),
+        ("U", 8, "c", 0, None, None, T0 + dt.timedelta(hours=2)),
+    ],
+}
+
+ROLE_SPEC = [
+    ("count_live", None, "live_turns"),
+    ("sum_live", "cast(length(text) as bigint)", "live_chars"),
+    ("count_versions", None, "versions_created"),
+    ("count_closed", None, "versions_closed"),
+    ("max_created", "ts", "last_event_ts"),
+]
+
+
+def _make(spark, tmp_path, name="t"):
+    table = bootstrap_table(spark, str(tmp_path / name), TRANSCRIPT_SCHEMA, num_buckets=4)
+    return table, CdcOrchestrator(table, buckets_per_group=4)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, EV)
+
+
+def _full_recompute(table, key="role"):
+    lineage = table.read()
+    return {
+        r[key]: (r.live, r.chars, r.created, r.closed, r.last_ts)
+        for r in lineage.groupBy(key)
+        .agg(
+            F.sum(F.col("is_current").cast("long")).alias("live"),
+            F.sum(
+                F.when(F.col("is_current"), F.length("text").cast("long"))
+            ).alias("chars"),
+            F.count(F.lit(1)).alias("created"),
+            F.sum((~F.col("is_current")).cast("long")).alias("closed"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+
+
+def _viewed(view):
+    return {
+        r.role: (
+            r.live_turns,
+            r.live_chars,
+            r.versions_created,
+            r.versions_closed,
+            r.last_event_ts,
+        )
+        for r in view.refresh().collect()
+    }
+
+
+def test_view_equals_full_recompute_per_batch(spark, tmp_path):
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(table, str(tmp_path / "v"), ["role"], ROLE_SPEC)
+    for b, rows in BATCHES.items():
+        orch.apply_batch(_batch(spark, rows), b)
+        got = _viewed(view)  # refresh after EVERY batch (incremental path)
+        assert got == _full_recompute(table), f"diverged after batch {b}"
+    # final assistant live set: (a,1) was deleted in batch 3, and the
+    # U-with-NULL-text on (c,0) RETAINED "ok" (P7): its sum inversion
+    # nets retained-new - closed-old = 0, leaving live_chars = len("ok").
+    assert got["assistant"][:2] == (1, len("ok"))
+
+
+def test_sum_inversion_under_update_and_delete(spark, tmp_path):
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(
+        table, str(tmp_path / "v"), ["conv_id"],
+        [("count_live", None, "n"), ("sum_live", "cast(length(text) as bigint)", "chars")],
+    )
+    orch.apply_batch(_batch(spark, BATCHES[1]), 1)
+    view.refresh()
+    orch.apply_batch(_batch(spark, BATCHES[2]), 2)
+    got = {r.conv_id: (r.n, r.chars) for r in view.refresh().collect()}
+    assert got["a"] == (2, len("hello hello hello") + len("hi there friend"))
+    assert got["b"] == (0, 0), "delete must invert the closed version's sum"
+    assert got["c"] == (1, 2)
+
+
+def test_watermarks_do_not_rewind_on_delete(spark, tmp_path):
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(
+        table, str(tmp_path / "v"), ["conv_id"],
+        [("max_created", "ts", "hi_ts"), ("min_created", "ts", "lo_ts"),
+         ("count_live", None, "n")],
+    )
+    for b, rows in BATCHES.items():
+        orch.apply_batch(_batch(spark, rows), b)
+    got = {r.conv_id: (r.lo_ts, r.hi_ts, r.n) for r in view.refresh().collect()}
+    assert got["b"] == (T0, T0, 0), "deleted conv keeps its created-watermarks"
+    assert got["a"][1] == T0 + dt.timedelta(hours=1)
+
+
+def test_exact_across_mor_and_compaction(spark, tmp_path):
+    """The view holds its checkpoint below pending MoR deltas, then
+    catches up exactly after compaction materializes them."""
+    from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
+    from tpc_di_spark.lake.maintenance import compact
+
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(table, str(tmp_path / "v"), ["role"], ROLE_SPEC)
+    orch.apply_batch(_batch(spark, BATCHES[1]), 1)
+    view.refresh()
+    apply_batch_mor(orch, _batch(spark, BATCHES[2]), 2)
+    # pending delta: the view must NOT advance past it
+    view.refresh()
+    assert view._load_ckpt()["batch_id"] == 1
+    compact_deltas(orch)
+    orch.apply_batch(_batch(spark, BATCHES[3]), 3)
+    compact(table, max_files_per_bucket=0)  # erase closing tags too
+    got = _viewed(view)
+    assert got == _full_recompute(table)
+
+
+def test_noop_refresh_and_crash_idempotence(spark, tmp_path):
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(table, str(tmp_path / "v"), ["role"], ROLE_SPEC)
+    orch.apply_batch(_batch(spark, BATCHES[1]), 1)
+    first = _viewed(view)
+    assert _viewed(view) == first  # nothing new committed -> no-op
+    # crash between state write and ckpt flip -> rerun recomputes same range
+    orch.apply_batch(_batch(spark, BATCHES[2]), 2)
+    orig = view.fs.replace_text
+
+    def failing(path, text):
+        raise RuntimeError("crash before flip")
+
+    view.fs.replace_text = failing
+    with pytest.raises(RuntimeError, match="crash before flip"):
+        view.refresh()
+    view.fs.replace_text = orig
+    assert _viewed(view) == _full_recompute(table)
+
+
+def test_spec_validation(spark, tmp_path):
+    table, _ = _make(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown aggregate kind"):
+        IncrementalView(table, str(tmp_path / "v1"), ["role"], [("avg_live", "x", "a")])
+    with pytest.raises(ValueError, match="takes no expression"):
+        IncrementalView(table, str(tmp_path / "v2"), ["role"], [("count_live", "x", "a")])
+    with pytest.raises(ValueError, match="requires an expression"):
+        IncrementalView(table, str(tmp_path / "v3"), ["role"], [("sum_live", None, "a")])

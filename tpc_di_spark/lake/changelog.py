@@ -115,11 +115,24 @@ def rows_closed_in(
     snap = snapshot or table.snapshot
     rels = hist_files_of_commit_tag(table, batch_id, snap)
     if not rels and batch_id in snap.committed_batches:
+        # Newest-first, stopping at the first snapshot that actually
+        # APPENDED this batch's closes. For a CoW batch that is the
+        # ``summary.batch_id``-stamped apply snapshot; for a merge-on-read
+        # batch the batch_id-stamped snapshot is the DELTA APPEND (no
+        # closes yet — matching it alone silently dropped every MoR
+        # batch's closes once a later full compaction rewrote the range
+        # tags): the closes land in the later ``compact-delta`` snapshot,
+        # stamped with ``summary.delta_batch``.
         for h in reversed(table.history()):
-            if h["summary"].get("batch_id") == batch_id:
+            s = h["summary"]
+            if s.get("batch_id") == batch_id or (
+                s.get("operation") == "compact-delta"
+                and s.get("delta_batch") == batch_id
+            ):
                 committing = table.read_snapshot(h["snapshot_id"])
                 rels = hist_files_of_commit_tag(table, batch_id, committing)
-                break
+                if rels:
+                    break
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
@@ -185,7 +198,12 @@ def rows_closed_since(
     return table.spark.read.schema(snap.schema).parquet(*paths)
 
 
-_TAG_RE = re.compile(r"data/(?:batch|compact-delta)-(\d{6})/")
+# \d+ not \d{6}: tags are %06d-formatted, i.e. ZERO-PADDED TO AT LEAST
+# six digits — batch ids >= 10^6 (the streaming tail's base_batch_id
+# epochs) produce 7+ digit tags, and a fixed-width match silently
+# classified their history files as "closing batch unknown", dropping
+# them from every range read.
+_TAG_RE = re.compile(r"data/(?:batch|compact-delta)-(\d+)/")
 
 
 def _closing_batch_of(rel: str) -> int | None:

@@ -41,6 +41,7 @@ def start_cdc_stream(
     base_batch_id: int = 1_000_000,
     mode: str = "cow",
     compact_every: int = 0,
+    consumers: list | None = None,
 ) -> StreamingQuery:
     """Drive a change-event stream into the lake table.
 
@@ -53,6 +54,16 @@ def start_cdc_stream(
     per trigger — the high-rate tail-ingest shape), optionally compacting
     every ``compact_every`` micro-batches; mode='cow' merges copy-on-write
     per micro-batch (read-optimized, heavier per trigger).
+
+    ``consumers``: optional list of changelog consumers (``IncrementalView``
+    / ``ConvStatsConsumer``), refreshed after each micro-batch's apply —
+    the full binlog-in -> lake -> binlog-out -> materialized-view loop in
+    one streaming tail. Exactly-once across restart composes for free:
+    a consumer checkpoint advances only through COMMITTED batch ids and
+    its state flip is atomic, so a re-delivered micro-batch (apply no-op)
+    followed by a re-refresh (empty pending range) is a no-op end to end.
+    Under mode='mor' each consumer holds below the pending deltas and
+    catches up at compaction (the materialization horizon).
     """
     from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
 
@@ -64,6 +75,8 @@ def start_cdc_stream(
                 compact_deltas(orchestrator)
         else:
             orchestrator.apply_batch(batch_df, bid)
+        for c in consumers or ():
+            c.refresh()
 
     return (
         events.writeStream.foreachBatch(apply)
