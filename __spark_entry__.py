@@ -770,12 +770,22 @@ def q24_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_pairs = minhash_jaccard_estimate(sigs_m, cands_m).filter(
         F.col("jaccard_est") >= _MH_COVER_THRESH
     )
-    return true_pairs.join(cands_x, ["doc_a", "doc_b"], "left").select(
+    per_pair = true_pairs.join(cands_x, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",
         "jaccard_est",
         F.coalesce(F.col("_hit"), F.lit(False)).alias("covered_by_scale_path"),
     )
+    # Corpus-level coverage fraction as a COLUMN (ADVICE r03 low /
+    # VERDICT r04 #7): a probabilistic near-miss after fixture
+    # regeneration now reads as "0.96 vs 1.0" on every row of the
+    # compare, not as one opaque boolean hash flip. Global window over
+    # ~tens of verified pairs — a scalar, not a data-sized single
+    # partition.
+    frac = F.avg(F.col("covered_by_scale_path").cast("double")).over(
+        Window.partitionBy()
+    )
+    return per_pair.withColumn("covered_fraction", F.round(frac, 4))
 
 
 # ---------------------------------------------------------------------------
@@ -1471,7 +1481,8 @@ Q31_SQL = _q31_sql()
 # q24's oracle: the q31 portable pipeline filtered to true near-dups, each
 # asserted covered by the xxhash64 scale path (see q24_minhash_lsh).
 Q24_SQL = f"""
-SELECT doc_a, doc_b, jaccard_est, TRUE AS covered_by_scale_path
+SELECT doc_a, doc_b, jaccard_est, TRUE AS covered_by_scale_path,
+       CAST(1.0 AS DOUBLE) AS covered_fraction
 FROM ({Q31_SQL}) q31
 WHERE jaccard_est >= {_MH_COVER_THRESH}
 """

@@ -79,34 +79,77 @@ def trailing_extreme_with_argdate(
     us = F.unix_micros(F.col(date_col).cast("timestamp"))
     lower = -days * 86_400_000_000 + (1 if lower_exclusive else 0)
     w = Window.partitionBy(key_col).orderBy(us).rangeBetween(lower, 0)
-    # NULL guard: struct comparison sorts a NULL field FIRST, so an
-    # unguarded min() over struct(v, us) would return the NULL-v struct
-    # whenever any value in the frame is NULL — diverging from the
-    # reference's MIN(DAYLOW), which ignores NULLs. Wrapping in when()
-    # makes the whole struct NULL for NULL values; min/max aggregates
-    # skip NULL inputs, matching SQL MIN/MAX semantics on both paths.
-    guarded = F.when(
-        F.col(value_col).isNotNull(),
-        F.struct(F.col(value_col).alias("v"), (-us).alias("negus")),
-    )
-    if extreme == "max":
-        s = F.max(guarded).over(w)
-        ext_value, ext_us = s["v"], -s["negus"]
-    elif extreme == "min":
-        guarded_min = F.when(
-            F.col(value_col).isNotNull(),
-            F.struct(F.col(value_col).alias("v"), us.alias("us")),
-        )
-        s = F.min(guarded_min).over(w)
-        ext_value, ext_us = s["v"], s["us"]
-    else:
-        raise ValueError(f"extreme must be 'max' or 'min', got {extreme!r}")
+    ext_value, ext_us = _trailing_extreme_exprs(us, value_col, extreme, w)
     return df.select(
         F.col(key_col),
         F.col(date_col),
         ext_value.alias("ext_value"),
         F.timestamp_micros(ext_us).cast(date_type).alias("ext_date"),
     ).dropDuplicates([key_col, date_col])
+
+
+def _trailing_extreme_exprs(us, value_col: str, extreme: str, w):
+    """(extreme value, its earliest epoch-us date) over window ``w``.
+
+    NULL guard: struct comparison sorts a NULL field FIRST, so an
+    unguarded min() over struct(v, us) would return the NULL-v struct
+    whenever any value in the frame is NULL — diverging from the
+    reference's MIN(DAYLOW), which ignores NULLs. Wrapping in when()
+    makes the whole struct NULL for NULL values; min/max aggregates
+    skip NULL inputs, matching SQL MIN/MAX semantics on both paths.
+    """
+    if extreme == "max":
+        guarded = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(F.col(value_col).alias("v"), (-us).alias("negus")),
+        )
+        s = F.max(guarded).over(w)
+        return s["v"], -s["negus"]
+    if extreme == "min":
+        guarded = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(F.col(value_col).alias("v"), us.alias("us")),
+        )
+        s = F.min(guarded).over(w)
+        return s["v"], s["us"]
+    raise ValueError(f"extreme must be 'max' or 'min', got {extreme!r}")
+
+
+def trailing_extremes(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    specs: list[tuple[str, str, str, str]],
+    days: int = 365,
+    lower_exclusive: bool = False,
+) -> DataFrame:
+    """Several trailing extremes in ONE window pass, appended to ``df``.
+
+    ``specs``: (value_col, 'max'|'min', out_value_name, out_date_name)
+    per extreme. Every spec shares the identical frame, so Catalyst
+    plans a SINGLE Window node (one shuffle + one sort) computing all of
+    them — and because the results are appended in place there is no
+    join-back either. The q39 composition previously ran
+    ``trailing_extreme_with_argdate`` twice and joined both results
+    against the input: two extra Window passes and two extra shuffles
+    for the same numbers (VERDICT r04 #6). Rows sharing (key, date) see
+    identical frames, so values match the join-back form row for row,
+    duplicates included.
+    """
+    date_type = df.schema[date_col].dataType.simpleString()
+    us = F.unix_micros(F.col(date_col).cast("timestamp"))
+    lower = -days * 86_400_000_000 + (1 if lower_exclusive else 0)
+    w = Window.partitionBy(key_col).orderBy(us).rangeBetween(lower, 0)
+    out = df
+    for value_col, extreme, value_name, date_name in specs:
+        ext_value, ext_us = _trailing_extreme_exprs(us, value_col, extreme, w)
+        out = out.withColumns(
+            {
+                value_name: ext_value,
+                date_name: F.timestamp_micros(ext_us).cast(date_type),
+            }
+        )
+    return out
 
 
 def trailing_sum_ratio(

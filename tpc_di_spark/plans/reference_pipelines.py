@@ -533,19 +533,21 @@ def build_fact_market_history(
     - Yield = dividend / dm_close * 100 from the IsCurrent security row
       (`:305-325`); zero dividend -> NULL (``if dividend:``).
 
-    Shape: one window pass per extreme + a bounded band join against the
-    quarterly financials (<= 4 rows/key/yr) + a broadcast dividend lookup.
+    Shape: ONE shared window pass for both extremes (same 365-day frame
+    => a single Window node, appended in place — no join-back; VERDICT
+    r04 #6) + a bounded band join against the quarterly financials
+    (<= 4 rows/key/yr) + a broadcast dividend lookup.
     """
-    from tpc_di_spark.operators.windows import trailing_extreme_with_argdate
+    from tpc_di_spark.operators.windows import trailing_extremes
 
-    hi = trailing_extreme_with_argdate(
-        daily_market, "dm_s_symb", "dm_date", "dm_high", days=365,
-        extreme="max", lower_exclusive=True,
-    ).withColumnsRenamed({"ext_value": "fiftytwoweekhigh", "ext_date": "fiftytwoweekhighdate"})
-    lo = trailing_extreme_with_argdate(
-        daily_market, "dm_s_symb", "dm_date", "dm_low", days=365,
-        extreme="min", lower_exclusive=True,
-    ).withColumnsRenamed({"ext_value": "fiftytwoweeklow", "ext_date": "fiftytwoweeklowdate"})
+    dm = trailing_extremes(
+        daily_market, "dm_s_symb", "dm_date",
+        [
+            ("dm_high", "max", "fiftytwoweekhigh", "fiftytwoweekhighdate"),
+            ("dm_low", "min", "fiftytwoweeklow", "fiftytwoweeklowdate"),
+        ],
+        days=365, lower_exclusive=True,
+    )
 
     fin = financials.select(
         F.col("dm_s_symb"), F.col("qtr_start_date"), F.col("eps").cast("decimal(18,4)").alias("_eps")
@@ -568,9 +570,7 @@ def build_fact_market_history(
     )
 
     out = (
-        daily_market
-        .join(hi, ["dm_s_symb", "dm_date"])
-        .join(lo, ["dm_s_symb", "dm_date"])
+        dm
         .join(eps, ["dm_s_symb", "dm_date"], "left")
         .join(F.broadcast(div), "dm_s_symb", "left")
     )
