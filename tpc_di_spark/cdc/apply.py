@@ -176,6 +176,29 @@ def merge_batch_rows(
     return merged.select(*out_cols)
 
 
+def insert_only_rows(
+    deduped: DataFrame, batch_id: int, table: LakeTable
+) -> DataFrame:
+    """Replacement row set when the target's current family is EMPTY —
+    the historical-load / bootstrap case. ``merge_batch_rows`` against an
+    empty target degenerates row-for-row to this projection ('D' closes
+    nothing and inserts nothing; 'I'/'U' both insert — MERGE WHEN NOT
+    MATCHED), so the join, BOTH sort passes, and the empty-side exchange
+    are skipped: the bootstrap batch becomes generation -> one bucket
+    exchange -> projection -> write."""
+    key = list(table.key_cols)
+    payload = [c for c in data_cols(table) if c not in key]
+    rows = deduped.filter(F.col("cdc_flag") != F.lit("D")).select(
+        *key,
+        *payload,
+        F.lit(True).alias("is_current"),
+        F.col("ts").alias("effective_ts"),
+        F.to_timestamp(F.lit(END_OF_TIME)).alias("end_ts"),
+        F.lit(batch_id).cast("int").alias("batch_id"),
+    )
+    return rows.select(*[f.name for f in table.schema.fields])
+
+
 def current_state(table: LakeTable, snapshot=None) -> DataFrame:
     """The live view: one row per surviving (conv_id, turn_idx). Scans
     only the current file family — the is_current filter stays as a

@@ -41,6 +41,7 @@ from tpc_di_spark.cdc.apply import (
     ENVELOPE_COLS,
     align_events,
     data_cols,
+    insert_only_rows,
     lww_dedup,
     merge_batch_rows,
 )
@@ -262,12 +263,19 @@ class CdcOrchestrator:
                 # scan as history accumulates. read_bucketed exposes the
                 # group's buckets as a catalog bucketed scan so the merge
                 # join adds no Exchange above the table side.
-                tgt, _ = self.table.read_bucketed(
-                    family="current", buckets=buckets
-                )
-                merged = merge_batch_rows(
-                    tgt, src.drop(LakeTable.BUCKET_COL), batch_id, self.table,
-                )
+                if any(
+                    self.table.snapshot.files.get(str(b)) for b in buckets
+                ):
+                    tgt, _ = self.table.read_bucketed(
+                        family="current", buckets=buckets
+                    )
+                    merged = merge_batch_rows(
+                        tgt, src.drop(LakeTable.BUCKET_COL), batch_id, self.table,
+                    )
+                else:  # no current rows in this group: insert-only projection
+                    merged = insert_only_rows(
+                        src.drop(LakeTable.BUCKET_COL), batch_id, self.table
+                    )
                 tag = f"batch-{batch_id:06d}/group-{gi:03d}"
                 files, hist_delta = self.table.write_data_files_split(
                     self.table.with_bucket(merged), tag,
@@ -366,11 +374,18 @@ class CdcOrchestrator:
             # Exchange above the table side, and its output stays
             # physically bucket-partitioned so the write skips its
             # repartition too — the batch's only shuffle is the incoming
-            # events' bucket_partitioned exchange in apply_batch.
-            tgt, _ = self.table.read_bucketed(family="current")
-            merged = merge_batch_rows(
-                tgt, deduped.drop(LakeTable.BUCKET_COL), batch_id, self.table
-            )
+            # events' bucket_partitioned exchange in apply_batch. An
+            # empty current family (historical load / bootstrap) skips
+            # the join entirely: insert-only projection.
+            if self.table.snapshot.files:
+                tgt, _ = self.table.read_bucketed(family="current")
+                merged = merge_batch_rows(
+                    tgt, deduped.drop(LakeTable.BUCKET_COL), batch_id, self.table
+                )
+            else:
+                merged = insert_only_rows(
+                    deduped.drop(LakeTable.BUCKET_COL), batch_id, self.table
+                )
             tag = f"batch-{batch_id:06d}/group-000"
             files, hist_delta = self.table.write_data_files_split(
                 self.table.with_bucket(merged), tag,
