@@ -162,3 +162,42 @@ def test_insert_only_bootstrap_equals_merge_path(spark, tmp_path):
     assert got == want
     # D winners inserted nothing
     assert all(r[-4] for r in got)  # is_current
+
+
+def test_rebucket_upgrades_legacy_layout(spark, tmp_path):
+    """rebucket rewrites every row anyway, so it doubles as the legacy
+    xxhash64 -> murmur3 upgrade: afterwards the table is spark_aligned,
+    the bucketed-scan path applies, and the data is unchanged. Writing
+    any other hash there would desync layout from the bucket.hash
+    property the catalog scan trusts (wrong joins, not just slow ones)."""
+    from tpc_di_spark.lake.maintenance import rebucket
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=8,
+        properties={"bucket.hash": "xxhash64"},
+    )
+    orch = CdcOrchestrator(t, buckets_per_group=8, count_input=False)
+    orch.apply_batch(_events(spark), 1)
+    before = {tuple(r) for r in current_state(t).collect()}
+
+    # same bucket count: still rewrites, because the layout upgrade alone
+    # is worth O(table) once
+    stats = rebucket(t, 8)
+    assert stats["rebucketed"] and t.spark_aligned
+    _df, bucketed = t.read_bucketed(family="current")
+    assert bucketed
+    assert {tuple(r) for r in current_state(t).collect()} == before
+
+    # and the next CDC batch takes the Exchange-free merge path
+    orch.apply_batch(_events(spark, base=5000), 2)
+    snap = t.refresh().snapshot
+    import os
+
+    for b, fl in list(snap.files.items())[:3]:
+        df = spark.read.schema(snap.schema).parquet(
+            *[os.path.join(t.path, rel) for rel in fl]
+        )
+        bad = df.filter(
+            F.pmod(F.hash("conv_id", "turn_idx"), F.lit(8)).cast("int") != int(b)
+        ).count()
+        assert bad == 0

@@ -147,17 +147,22 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     64-bucket table has ~25 GB buckets (no parallelism within a merge
     group); re-bucketing to 4096 restores balanced, prunable units.
 
-    Rewrites every live row under the new ``pmod(xxhash64(key), N')``
-    assignment and commits data + the new bucket count together; readers
-    on the old snapshot keep the old layout (time travel intact), a crash
-    before the flip leaves only orphan files. O(table) — schedule it like
-    compaction, not per batch."""
+    Rewrites every live row under the new ``pmod(hash(key), N')``
+    assignment — ALWAYS the Spark-aligned murmur3 layout, and the commit
+    stamps ``bucket.hash=murmur3``: since rebucketing rewrites every
+    byte anyway, it doubles as the in-place upgrade path for legacy
+    xxhash64 tables (after it, Exchange-free bucketed-scan merges apply).
+    Writing any other hash here would silently desync the on-disk layout
+    from the property the bucketed-scan read trusts — wrong join
+    results, not just a slow plan. Readers on the old snapshot keep the
+    old layout (time travel intact), a crash before the flip leaves only
+    orphan files. O(table) — schedule it like compaction, not per batch."""
     snap = table.snapshot
-    if new_num_buckets == snap.num_buckets:
+    if new_num_buckets == snap.num_buckets and table.spark_aligned:
         return {"rebucketed": False, "num_buckets": snap.num_buckets}
     df = table.read()
     new_bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in snap.bucket_cols]), F.lit(new_num_buckets)
+        F.hash(*[F.col(c) for c in snap.bucket_cols]), F.lit(new_num_buckets)
     ).cast("int")
     tag = f"rebucket-{snap.snapshot_id:08d}-to-{new_num_buckets}"
     # Temporarily present the new bucket count to the writer so the
@@ -193,6 +198,7 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
         replace_hist=True,
         summary={"operation": "rebucket", "from": snap.num_buckets, "to": new_num_buckets},
         new_num_buckets=new_num_buckets,
+        new_properties={**snap.properties, "bucket.hash": "murmur3"},
     )
     return {
         "rebucketed": True,
