@@ -345,3 +345,72 @@ def test_schema_evolution_safe_type_widening(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucket/key"):
         t.evolve_schema(key_widened)
+
+
+def test_history_manifests_bound_snapshot_size(spark, tmp_path):
+    """Round 5: the snapshot body must stay O(current files) — history
+    file lists + stats ride immutable delta manifests, so JSON bytes per
+    commit do not grow with table age (at 10^10 the inline form made
+    every commit O(every history file ever written))."""
+    import datetime as dt
+    import json
+    import os
+
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(t, buckets_per_group=4)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def batch(b):
+        rows = [
+            ("U" if b > 1 else "I", b * 100 + i, f"c{i}", 0, "user", f"t{b}-{i}",
+             t0 + dt.timedelta(hours=b))
+            for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, role string, text string, ts timestamp",
+        )
+
+    sizes = []
+    for b in range(1, 7):
+        orch.apply_batch(batch(b), b)
+        snap_path = os.path.join(t.path, "_meta", t._snap_name(t.snapshot.snapshot_id))
+        body = json.loads(t.fs.read_text(snap_path))
+        sizes.append(len(t.fs.read_text(snap_path)))
+        # on-disk body: no inline hist map, refs only
+        assert body["hist_files"] == {}
+        assert len(body["hist_manifests"]) == b - 1  # batch 1 closes nothing
+        # hydrated handle: the full map, one hist delta per closing batch
+        assert len({rel for fl in t.snapshot.hist_files.values() for rel in fl}) > 0 or b == 1
+    # body size flat (within jitter), not linear in batch count
+    assert sizes[-1] < sizes[1] * 1.5, sizes
+
+    # hydration round-trip: a freshly loaded handle sees the same maps
+    t2 = LakeTable.load(spark, t.path, fs=t.fs)
+    assert t2.snapshot.hist_files == t.snapshot.hist_files
+    assert t2.snapshot.file_stats == t.snapshot.file_stats
+    assert current_state(t2).count() == 40
+
+    # time travel hydrates too
+    old = t.read_snapshot(3)
+    assert old.hist_files and any(old.hist_files.values())
+
+    # expire drops manifests only reachable from expired snapshots
+    from tpc_di_spark.lake.maintenance import expire_snapshots
+
+    stats = expire_snapshots(t, keep_last=2)
+    assert stats["removed_manifests"] == 0  # manifests are shared forward
+    # compaction consolidates: one manifest afterwards
+    from tpc_di_spark.lake.maintenance import compact
+
+    compact(t, max_files_per_bucket=0)
+    assert len(t.snapshot.hist_manifests) == 1
+    live = {rel for fl in t.snapshot.hist_files.values() for rel in fl}
+    assert live and all(rel.startswith("data/compact-") for rel in live)
+    stats2 = expire_snapshots(t, keep_last=1)
+    assert stats2["removed_manifests"] > 0  # pre-compaction deltas now orphaned
+    assert current_state(t).count() == 40

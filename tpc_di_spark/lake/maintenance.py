@@ -133,9 +133,30 @@ def expire_snapshots(
             if table.fs.exists(p):
                 table.fs.remove(p)
                 removed_snaps += 1
+
+    # History manifests referenced only by expired snapshots are orphans
+    # now (manifests are immutable and shared forward, so anything a kept
+    # snapshot lists stays).
+    live_manifests = set()
+    for sid in keep_ids:
+        live_manifests.update(
+            table.read_snapshot(sid, hydrate=False).hist_manifests
+        )
+    removed_manifests = 0
+    for name in table.fs.listdir(meta):
+        if name.startswith("manifest-") and os.path.join("_meta", name) not in live_manifests:
+            p = os.path.join(meta, name)
+            # same min-age guard as data files: a mid-commit writer's
+            # manifest is unreferenced until its snapshot flips
+            if min_age_seconds > 0 and now - table.fs.mtime(p) < min_age_seconds:
+                skipped_young += 1
+                continue
+            table.fs.remove(p)
+            removed_manifests += 1
     return {
         "removed_files": removed_files,
         "removed_snapshots": removed_snaps,
+        "removed_manifests": removed_manifests,
         "skipped_young_files": skipped_young,
     }
 

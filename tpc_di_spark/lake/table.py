@@ -92,21 +92,43 @@ class Snapshot:
     properties: dict = field(default_factory=dict)
     # History file family (bucket -> paths): immutable closed SCD2
     # versions, append-only — a CDC merge never rewrites them (see
-    # LakeTable docstring, "current/history file families").
+    # LakeTable docstring, "current/history file families"). IN MEMORY
+    # this is always the full hydrated map; ON DISK it lives in the
+    # immutable MANIFEST files listed in ``hist_manifests`` (one delta
+    # manifest per closing commit, consolidated past a threshold), so a
+    # commit serializes O(current files + this batch's delta) bytes, not
+    # O(every history file ever written) — the history family grows one
+    # file per bucket per batch, and at the 10^10 design point re-listing
+    # it inline made every snapshot write O(table age). Iceberg's
+    # manifest/manifest-list design, rebuilt on the snapshot log.
     hist_files: dict[str, list[str]] = field(default_factory=dict)
     # Per-file [min, max] of the batch_id lineage column, from parquet
     # footer stats at write time — the engine's data-skipping index for
     # incremental changelog reads (lake/changelog.py). A file absent here
-    # has unknown range and is always scanned. (At 10^10 rows this map
-    # moves into per-bucket manifest files, Iceberg-style; the snapshot
-    # JSON holds it directly at bench scale.)
+    # has unknown range and is always scanned. In memory: the full map;
+    # on disk: current-family stats inline, history-file stats inside
+    # their manifest.
     file_stats: dict[str, list] = field(default_factory=dict)
+    # Table-relative paths of the immutable history manifests, oldest
+    # first. Empty on legacy snapshots (their hist map is inline).
+    hist_manifests: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> StructType:
         return StructType.fromJson(self.schema_json)
 
     def to_json(self) -> dict:
+        if self.hist_manifests:
+            # History rides the manifests: suppress the hydrated map and
+            # its stats from the snapshot body (the inverse of hydrate()).
+            hist_rels = {rel for fl in self.hist_files.values() for rel in fl}
+            hist_inline: dict[str, list[str]] = {}
+            stats_inline = {
+                rel: v for rel, v in self.file_stats.items() if rel not in hist_rels
+            }
+        else:  # legacy round-trip: everything inline
+            hist_inline = self.hist_files
+            stats_inline = self.file_stats
         return {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
@@ -115,8 +137,9 @@ class Snapshot:
             "key_cols": self.key_cols,
             "bucket_cols": self.bucket_cols,
             "files": self.files,
-            "hist_files": self.hist_files,
-            "file_stats": self.file_stats,
+            "hist_files": hist_inline,
+            "file_stats": stats_inline,
+            "hist_manifests": self.hist_manifests,
             "committed_batches": self.committed_batches,
             "summary": self.summary,
             "properties": self.properties,
@@ -137,6 +160,7 @@ class Snapshot:
             properties=d.get("properties", {}),
             hist_files={k: list(v) for k, v in d.get("hist_files", {}).items()},
             file_stats=dict(d.get("file_stats", {})),
+            hist_manifests=list(d.get("hist_manifests", [])),
         )
 
 
@@ -229,7 +253,23 @@ class LakeTable:
         fs = fs or LocalFS()
         meta = os.path.join(path, _META)
         snap_name = fs.read_text(os.path.join(meta, _VERSION)).strip()
-        return Snapshot.from_json(json.loads(fs.read_text(os.path.join(meta, snap_name))))
+        snap = Snapshot.from_json(
+            json.loads(fs.read_text(os.path.join(meta, snap_name)))
+        )
+        return cls._hydrate(snap, path, fs)
+
+    @staticmethod
+    def _hydrate(snap: Snapshot, path: str, fs: TableFS) -> Snapshot:
+        """Merge the snapshot's history manifests into the in-memory
+        hist_files / file_stats maps — the read-side inverse of the
+        manifest split in ``commit``. Delta manifests merge in list
+        order (append-only history makes merge = concatenation)."""
+        for rel in snap.hist_manifests:
+            m = json.loads(fs.read_text(os.path.join(path, rel)))
+            for b, fl in m.get("hist", {}).items():
+                snap.hist_files.setdefault(b, []).extend(fl)
+            snap.file_stats.update(m.get("stats", {}))
+        return snap
 
     def refresh(self) -> "LakeTable":
         self.snapshot = self._read_current_snapshot(self.path, self.fs)
@@ -250,23 +290,28 @@ class LakeTable:
     def is_batch_committed(self, batch_id: int) -> bool:
         return batch_id in self.snapshot.committed_batches
 
-    def read_snapshot(self, snapshot_id: int) -> Snapshot:
-        return Snapshot.from_json(
+    def read_snapshot(self, snapshot_id: int, hydrate: bool = True) -> Snapshot:
+        """Load a snapshot by id (time travel). ``hydrate=False`` skips
+        loading its history manifests — enough for metadata-only walks
+        (summaries, parent chains) and O(1) instead of O(manifests)."""
+        snap = Snapshot.from_json(
             json.loads(
                 self.fs.read_text(
                     os.path.join(self.path, _META, self._snap_name(snapshot_id))
                 )
             )
         )
+        return self._hydrate(snap, self.path, self.fs) if hydrate else snap
 
     def history(self) -> list[dict]:
         """Lineage of the current snapshot, oldest first. Stops at the
-        oldest snapshot still on disk (older ones may have been expired)."""
+        oldest snapshot still on disk (older ones may have been expired).
+        Metadata-only: no manifest hydration."""
         out = []
         sid: int | None = self.snapshot.snapshot_id
         while sid is not None:
             try:
-                s = self.read_snapshot(sid)
+                s = self.read_snapshot(sid, hydrate=False)
             except (FileNotFoundError, OSError):
                 break
             out.append({"snapshot_id": s.snapshot_id, "summary": s.summary})
@@ -683,8 +728,40 @@ class LakeTable:
             if rel in referenced and v is not None
         }
 
+        # ---- history manifests (Snapshot.hist_files docstring): the
+        # on-disk form of the append-only history family. Normal commits
+        # write ONE immutable delta manifest (this batch's closed files +
+        # their stats) and carry the parent's refs forward — snapshot
+        # body stays O(current files). Consolidation (one full manifest)
+        # happens when maintenance rewrote history (replace_hist), when
+        # upgrading a legacy inline-hist snapshot, or when the ref list
+        # passes the threshold (bounding per-load manifest reads, the
+        # manifest-compaction half of Iceberg's design).
+        new_id = parent.snapshot_id + 1
+
+        def _write_manifest(content: dict) -> str:
+            rel = os.path.join(
+                _META, f"manifest-{new_id:08d}-{uuid.uuid4().hex[:8]}.json"
+            )
+            self.fs.write_text(os.path.join(self.path, rel), json.dumps(content))
+            return rel
+
+        delta = append_hist_by_bucket or {}
+        manifests = list(parent.hist_manifests)
+        legacy_inline = bool(parent.hist_files) and not parent.hist_manifests
+        if replace_hist or legacy_inline or (delta and len(manifests) >= 64):
+            hist_rels = {rel for fl in hist.values() for rel in fl}
+            mstats = {rel: v for rel, v in stats.items() if rel in hist_rels}
+            manifests = (
+                [_write_manifest({"hist": hist, "stats": mstats})] if hist else []
+            )
+        elif delta:
+            delta_rels = {rel for fl in delta.values() for rel in fl}
+            mstats = {rel: v for rel, v in stats.items() if rel in delta_rels}
+            manifests.append(_write_manifest({"hist": delta, "stats": mstats}))
+
         snap = Snapshot(
-            snapshot_id=parent.snapshot_id + 1,
+            snapshot_id=new_id,
             parent_id=parent.snapshot_id,
             schema_json=(new_schema or parent.schema).jsonValue(),
             num_buckets=new_num_buckets or parent.num_buckets,
@@ -696,6 +773,7 @@ class LakeTable:
             committed_batches=committed,
             summary={**(summary or {}), "batch_id": batch_id},
             properties=parent.properties if new_properties is None else new_properties,
+            hist_manifests=manifests,
         )
         self._flip_version(snap, expected_parent=parent.snapshot_id)
         self.snapshot = snap
