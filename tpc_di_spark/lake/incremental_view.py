@@ -188,22 +188,47 @@ class IncrementalView:
             for h in hist
         )
 
+    def _null_safe_outer(
+        self, left: DataFrame, right: DataFrame, right_cols: list[str]
+    ) -> DataFrame:
+        """Full-outer join on the key columns with NULL-SAFE equality,
+        coalescing the key columns in the output. A plain equi-join never
+        matches NULL keys, so a view keyed on a nullable column (e.g.
+        ``role``) would accumulate a duplicate NULL-key row per refresh
+        instead of folding into one. Aggregation keys treat NULL as a
+        value (SQL GROUP BY semantics) — the merge join must too."""
+        l, r = left.alias("l"), right.alias("r")
+        cond = F.lit(True)
+        for k in self.key_cols:
+            cond = cond & F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        keys = [
+            F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+            for k in self.key_cols
+        ]
+        left_cols = [
+            F.col(f"l.{c}") for c in left.columns if c not in self.key_cols
+        ]
+        return l.join(r, cond, "full_outer").select(
+            *keys, *left_cols, *[F.col(f"r.{c}") for c in right_cols]
+        )
+
     def _delta_aggs(self, created: DataFrame, closed: DataFrame) -> DataFrame:
         """One aggregation over each side of the changelog range, joined
         into a per-key delta frame with ``_c_*`` / ``_d_*`` columns."""
         c_aggs = [F.count(F.lit(1)).alias("_c_n")]
-        d_aggs = [F.count(F.lit(1)).alias("_d_n")]
+        d_aggs, d_names = [F.count(F.lit(1)).alias("_d_n")], ["_d_n"]
         for kind, expr, name in self.aggs:
             if kind == "sum_live":
                 c_aggs.append(F.sum(F.expr(expr)).alias(f"_c_{name}"))
                 d_aggs.append(F.sum(F.expr(expr)).alias(f"_d_{name}"))
+                d_names.append(f"_d_{name}")
             elif kind == "max_created":
                 c_aggs.append(F.max(F.expr(expr)).alias(f"_c_{name}"))
             elif kind == "min_created":
                 c_aggs.append(F.min(F.expr(expr)).alias(f"_c_{name}"))
         c = created.groupBy(*self.key_cols).agg(*c_aggs)
         d = closed.groupBy(*self.key_cols).agg(*d_aggs)
-        return c.join(d, self.key_cols, "full_outer")
+        return self._null_safe_outer(c, d, d_names)
 
     def _merged_state(self, delta: DataFrame) -> DataFrame:
         zero = F.lit(0).cast("long")
@@ -237,9 +262,9 @@ class IncrementalView:
                 new = F.least(old, F.col(f"_c_{name}"))
             cols.append(new.alias(name))
         cols.append((F.coalesce(F.col(_VC), zero) + cn).alias(_VC))
+        delta_cols = [c for c in delta.columns if c not in self.key_cols]
         return (
-            self._state_full()
-            .join(delta, self.key_cols, "full_outer")
+            self._null_safe_outer(self._state_full(), delta, delta_cols)
             .select(*cols)
             # a key enters the view with its first created version
             # (delete events for never-seen keys are no-ops)
