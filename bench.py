@@ -525,7 +525,7 @@ def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> No
                 ),
                 "hw_floor_ceiling": (
                     [hw["bandwidth_bound_floor"], hw["compute_bound_ceiling"]]
-                    if hw
+                    if hw and "bandwidth_bound_floor" in hw
                     else None
                 ),
                 "rounds": len(pairs),
@@ -604,11 +604,16 @@ def _hw_own_scaling() -> dict:
     out = {}
     for c in (SCALE_N, SCALE_N * 4):
         pin = ["taskset", "-c", f"0-{c - 1}"] if shutil.which("taskset") else []
-        r = subprocess.run(
-            pin + [sys.executable, os.path.abspath(__file__), "--hw-probe", str(c)],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        out[str(c)] = json.loads(r.stdout.strip().splitlines()[-1])
+        try:
+            r = subprocess.run(
+                pin + [sys.executable, os.path.abspath(__file__), "--hw-probe", str(c)],
+                capture_output=True, text=True, cwd=REPO, timeout=120,
+            )
+            out[str(c)] = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            # the hw bracket is CONTEXT — a restricted cpuset or probe
+            # crash must never cost the run its later stages
+            return {"error": f"hw probe failed at {c} cores: {e}"[:200]}
     lo, hi = out[str(SCALE_N)], out[str(SCALE_N * 4)]
     return {
         "N": lo,

@@ -174,3 +174,36 @@ def test_spec_validation(spark, tmp_path):
         IncrementalView(table, str(tmp_path / "v2"), ["role"], [("count_live", "x", "a")])
     with pytest.raises(ValueError, match="requires an expression"):
         IncrementalView(table, str(tmp_path / "v3"), ["role"], [("sum_live", None, "a")])
+
+
+def test_legacy_state_dir_without_membership_column(spark, tmp_path):
+    """Code-review r05: a state dir written before the hidden
+    _versions_created column existed must NOT lose quiet keys on the
+    first post-upgrade refresh (NULL-filled membership would read 0 and
+    the >0 filter would drop every key the new batch range misses)."""
+    import json
+    import os
+
+    from tpc_di_spark.lake.incremental_agg import ConvStatsConsumer
+
+    table, orch = _make(spark, tmp_path)
+    orch.apply_batch(_batch(spark, BATCHES[1]), 1)
+    consumer = ConvStatsConsumer(table, str(tmp_path / "stats"))
+    consumer.refresh()
+    # rewrite the state as the OLD layout (drop the membership column)
+    ck = consumer._load_ckpt()
+    state_path = os.path.join(consumer.state_dir, ck["state_rel"])
+    old = spark.read.parquet(state_path).drop("_versions_created")
+    legacy_dir = os.path.join(consumer.state_dir, "state-legacy")
+    old.write.mode("overwrite").parquet(legacy_dir)
+    consumer.fs.replace_text(
+        consumer._ckpt_path(),
+        json.dumps({**ck, "state_rel": "state-legacy"}),
+    )
+    # the next batch touches NOTHING from batch 1 — every legacy key is
+    # "quiet" and must survive the membership backfill
+    orch.apply_batch(
+        _batch(spark, [("I", 99, "zz", 0, "user", "new", T0)]), 2
+    )
+    got = {r.conv_id for r in consumer.refresh().collect()}
+    assert {"a", "b", "zz"} <= got, "quiet legacy keys must survive the upgrade"

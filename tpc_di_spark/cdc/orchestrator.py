@@ -266,7 +266,7 @@ class CdcOrchestrator:
                 if any(
                     self.table.snapshot.files.get(str(b)) for b in buckets
                 ):
-                    tgt, _ = self.table.read_bucketed(
+                    tgt, aligned = self.table.read_bucketed(
                         family="current", buckets=buckets
                     )
                     merged = merge_batch_rows(
@@ -276,17 +276,19 @@ class CdcOrchestrator:
                     merged = insert_only_rows(
                         src.drop(LakeTable.BUCKET_COL), batch_id, self.table
                     )
+                    aligned = self.table.spark_aligned
                 tag = f"batch-{batch_id:06d}/group-{gi:03d}"
                 files, hist_delta = self.table.write_data_files_split(
                     self.table.with_bucket(merged), tag,
-                    # The merge join's inputs are both in the bucket
-                    # layout (bucketed scan / bucket_partitioned events
-                    # restricted to this group), so its output is
-                    # physically bucket-co-located — see
-                    # LakeTable._bucket_clustered for why this holds and
-                    # why a violated assumption costs extra files, never
-                    # wrong rows.
-                    assume_bucket_partitioned=self.table.spark_aligned,
+                    # Skip the write exchange only when the merge inputs
+                    # really were in the bucket layout (bucketed scan +
+                    # bucket_partitioned events, or an insert-only
+                    # projection of the bucket-partitioned batch). When
+                    # read_bucketed fell back to a plain scan the join
+                    # output's layout is the planner's choice — cluster
+                    # it, or the partitionBy write can emit partitions x
+                    # buckets small files. See LakeTable._bucket_clustered.
+                    assume_bucket_partitioned=aligned,
                 )
                 lineage_rows, fstats = self._lineage_rows(files, hist_delta)
                 n_src = sum(bucket_counts[b] for b in buckets)
@@ -378,7 +380,7 @@ class CdcOrchestrator:
             # empty current family (historical load / bootstrap) skips
             # the join entirely: insert-only projection.
             if self.table.snapshot.files:
-                tgt, _ = self.table.read_bucketed(family="current")
+                tgt, aligned = self.table.read_bucketed(family="current")
                 merged = merge_batch_rows(
                     tgt, deduped.drop(LakeTable.BUCKET_COL), batch_id, self.table
                 )
@@ -386,10 +388,11 @@ class CdcOrchestrator:
                 merged = insert_only_rows(
                     deduped.drop(LakeTable.BUCKET_COL), batch_id, self.table
                 )
+                aligned = self.table.spark_aligned
             tag = f"batch-{batch_id:06d}/group-000"
             files, hist_delta = self.table.write_data_files_split(
                 self.table.with_bucket(merged), tag,
-                assume_bucket_partitioned=self.table.spark_aligned,
+                assume_bucket_partitioned=aligned,
             )
             lineage_rows, fstats = self._lineage_rows(files, hist_delta)
             metrics = {
@@ -476,12 +479,12 @@ class CdcOrchestrator:
             self.table.bucket_partitioned(align_events(events, self.table)),
             self.table.key_cols,
         )
-        tgt, _ = self.table.read_bucketed(family="current")
+        tgt, aligned = self.table.read_bucketed(family="current")
         merged = merge_batch_rows(tgt, deduped, orig_batch_id, self.table)
         tag = f"compact-delta-{orig_batch_id:06d}"
         files, hist_delta = self.table.write_data_files_split(
             self.table.with_bucket(merged), tag,
-            assume_bucket_partitioned=self.table.spark_aligned,
+            assume_bucket_partitioned=aligned,
         )
         replaced = set(self.table.snapshot.files) | set(files)
 

@@ -183,9 +183,17 @@ class LocalFS(TableFS):
         if os.path.isdir(dst_dir):
             return True
         tmp = f"{dst_dir}.tmp.{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp)
-        for src, name in zip(srcs, names):
-            os.link(src, os.path.join(tmp, name))
+        try:
+            os.makedirs(tmp)
+            for src, name in zip(srcs, names):
+                os.link(src, os.path.join(tmp, name))
+        except OSError:
+            # EXDEV (data dir on another filesystem, e.g. scratch mounts)
+            # or a vanished source: links are an OPTIMIZATION — report
+            # "no link primitive here" and let the caller take the plain
+            # read path instead of failing the batch.
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
         try:
             os.rename(tmp, dst_dir)
         except OSError:  # lost a same-process race; the winner is identical

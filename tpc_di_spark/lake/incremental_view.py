@@ -160,8 +160,21 @@ class IncrementalView:
         schema = self._state_schema()
         if ck is None:
             return self.table.spark.createDataFrame([], schema)
-        return self.table.spark.read.schema(schema).parquet(
-            os.path.join(self.state_dir, ck["state_rel"])
+        path = os.path.join(self.state_dir, ck["state_rel"])
+        # LEGACY state dirs (written before the hidden membership column
+        # existed) lack _versions_created. Reading them through the new
+        # schema would NULL-fill it, and the membership filter would then
+        # silently drop every key the next refresh doesn't touch —
+        # permanent state loss. Detect via the files' real schema and
+        # backfill a positive membership marker (only positivity matters).
+        actual = self.table.spark.read.parquet(path)
+        if _VC in actual.columns:
+            return self.table.spark.read.schema(schema).parquet(path)
+        legacy = StructType([f for f in schema.fields if f.name != _VC])
+        return (
+            self.table.spark.read.schema(legacy)
+            .parquet(path)
+            .withColumn(_VC, F.lit(1).cast("long"))
         )
 
     # -- refresh ------------------------------------------------------------

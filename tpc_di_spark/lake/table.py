@@ -249,14 +249,16 @@ class LakeTable:
         return f"snap-{snapshot_id:08d}.json"
 
     @classmethod
-    def _read_current_snapshot(cls, path: str, fs: TableFS | None = None) -> Snapshot:
+    def _read_current_snapshot(
+        cls, path: str, fs: TableFS | None = None, hydrate: bool = True
+    ) -> Snapshot:
         fs = fs or LocalFS()
         meta = os.path.join(path, _META)
         snap_name = fs.read_text(os.path.join(meta, _VERSION)).strip()
         snap = Snapshot.from_json(
             json.loads(fs.read_text(os.path.join(meta, snap_name)))
         )
-        return cls._hydrate(snap, path, fs)
+        return cls._hydrate(snap, path, fs) if hydrate else snap
 
     @staticmethod
     def _hydrate(snap: Snapshot, path: str, fs: TableFS) -> Snapshot:
@@ -335,6 +337,18 @@ class LakeTable:
     def with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(self.BUCKET_COL, self.bucket_expr())
 
+    @staticmethod
+    def _bucket_file_pairs(
+        fmap: dict[str, list[str]], buckets: Iterable[int] | None
+    ) -> list[tuple[str, str]]:
+        """(bucket, relative path) pairs of a file-family map, optionally
+        bucket-pruned — the ONE selection rule both read() and
+        read_bucketed() use (they must return identical row sets)."""
+        wanted = (
+            set(fmap) if buckets is None else {str(b) for b in buckets} & set(fmap)
+        )
+        return [(b, rel) for b in sorted(wanted) for rel in fmap[b]]
+
     def bucket_partitioned(self, df: DataFrame) -> DataFrame:
         """Repartition ``df`` into exactly the table's bucket layout
         (``HashPartitioning(bucket_cols, num_buckets)``). Under the
@@ -382,18 +396,11 @@ class LakeTable:
             maps.append(snap.hist_files)
         if family not in ("all", "current", "history"):
             raise ValueError(f"unknown file family {family!r}")
-        paths = []
-        for fmap in maps:
-            wanted = (
-                set(fmap.keys())
-                if buckets is None
-                else {str(b) for b in buckets} & set(fmap.keys())
-            )
-            paths.extend(
-                os.path.join(self.path, rel)
-                for b in sorted(wanted)
-                for rel in fmap[b]
-            )
+        paths = [
+            os.path.join(self.path, rel)
+            for fmap in maps
+            for _b, rel in self._bucket_file_pairs(fmap, buckets)
+        ]
         if not paths:
             return self.spark.createDataFrame([], schema)
         # Explicit schema => old files null-fill evolved columns.
@@ -425,15 +432,10 @@ class LakeTable:
         are dropped on each call (single-writer contract).
         """
         snap = self.snapshot
-        fmap = snap.files if family == "current" else snap.hist_files
         if family not in ("current", "history"):
             raise ValueError(f"read_bucketed supports one family, got {family!r}")
-        wanted = (
-            set(fmap)
-            if buckets is None
-            else {str(b) for b in buckets} & set(fmap)
-        )
-        pairs = [(b, rel) for b in sorted(wanted) for rel in fmap[b]]
+        fmap = snap.files if family == "current" else snap.hist_files
+        pairs = self._bucket_file_pairs(fmap, buckets)
         if not pairs or not self.spark_aligned:
             return self.read(buckets=buckets, family=family), False
 
@@ -442,7 +444,9 @@ class LakeTable:
         token = (
             "all"
             if buckets is None
-            else hashlib.md5(",".join(sorted(wanted)).encode()).hexdigest()[:10]
+            else hashlib.md5(
+                ",".join(sorted({b for b, _ in pairs})).encode()
+            ).hexdigest()[:10]
         )
         view_root = os.path.join(self.path, _META, "bview")
         view = os.path.join(
@@ -833,7 +837,10 @@ class LakeTable:
 
     def _flip_version(self, snap: Snapshot, expected_parent: int) -> None:
         meta = os.path.join(self.path, _META)
-        current = self._read_current_snapshot(self.path, self.fs)
+        # hydrate=False: the CAS check needs only snapshot_id — hydrating
+        # would re-read every history manifest on every commit, re-adding
+        # the O(table age) hot-path metadata cost manifests exist to cut.
+        current = self._read_current_snapshot(self.path, self.fs, hydrate=False)
         if current.snapshot_id != expected_parent:
             raise CommitConflict(
                 f"expected parent snapshot {expected_parent}, found {current.snapshot_id}"
