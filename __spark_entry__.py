@@ -2101,6 +2101,71 @@ FROM read_csv('{_SIDECAR_ORACLE_DIR}/part.csv', delim=',', header=true,
            'p_size':'VARCHAR','p_retailprice':'VARCHAR'}})
 """
 
+# ---------------------------------------------------------------------------
+# Q51 — Debezium-envelope JSON changelog intake (sources/debezium.py):
+# the realistic "binlog in" adapter. The sidecar is a raw-Connect-envelope
+# JSONL changelog (op c/r/u/d, before/after images, source.lsn, ts_ms)
+# with two malformed lines; the reader parses it with from_json Column
+# exprs into the engine's CHANGE_EVENT envelope and quarantines the bad
+# lines (P12 side-output — pytest-checked; the contract query returns
+# the parsed events). The oracle reads the SAME bytes with DuckDB
+# read_json and applies the identical op/image/position mapping.
+# ---------------------------------------------------------------------------
+
+_DBZ_PAYLOAD = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def q51_debezium_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.sources.debezium import read_debezium_json
+
+    out = make_sidecars(_SIDECAR_SF_DIR)
+    events, _quarantine = read_debezium_json(
+        spark, os.path.join(out, "changes.debezium.jsonl"), _DBZ_PAYLOAD
+    )
+    return events.select(
+        "cdc_flag", "cdc_dsn", "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
+_DBZ_STRUCT = (
+    "STRUCT(op VARCHAR, ts_ms BIGINT, "
+    "before STRUCT(conv_id VARCHAR, turn_idx INTEGER, role VARCHAR, text VARCHAR), "
+    "after STRUCT(conv_id VARCHAR, turn_idx INTEGER, role VARCHAR, text VARCHAR), "
+    "source STRUCT(lsn BIGINT, pos BIGINT))"
+)
+
+Q51_SQL = f"""
+WITH j AS (
+  SELECT payload AS p
+  FROM read_json('{_SIDECAR_ORACLE_DIR}/changes.debezium.jsonl',
+                 format='newline_delimited', ignore_errors=true,
+                 columns={{'payload': '{_DBZ_STRUCT}'}})
+),
+img AS (
+  SELECT p.op AS op, p.ts_ms AS ts_ms, p.source AS src,
+         CASE WHEN p.op = 'd' THEN p.before ELSE p.after END AS i
+  FROM j
+  WHERE p.op IN ('c', 'r', 'u', 'd') AND p.ts_ms IS NOT NULL
+)
+SELECT CASE WHEN op = 'd' THEN 'D' WHEN op = 'u' THEN 'U' ELSE 'I' END AS cdc_flag,
+       COALESCE(src.lsn, src.pos, ts_ms) AS cdc_dsn,
+       i.conv_id  AS conv_id,
+       i.turn_idx AS turn_idx,
+       i.role     AS role,
+       i.text     AS text,
+       epoch_ms(ts_ms) AS ts
+FROM img
+WHERE i IS NOT NULL
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -2164,6 +2229,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_dedup_clusters": q48_dedup_clusters,
     "q49_incremental_conv_stats": q49_incremental_conv_stats,
     "q50_incremental_role_view": q50_incremental_role_view,
+    "q51_debezium_scan": q51_debezium_scan,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2221,6 +2287,7 @@ _ORACLES: dict[str, str] = {
     "q48_dedup_clusters": Q48_SQL,
     "q49_incremental_conv_stats": Q49_SQL,
     "q50_incremental_role_view": Q50_SQL,
+    "q51_debezium_scan": Q51_SQL,
 }
 
 

@@ -482,3 +482,89 @@ def test_streaming_consumer_restart_idempotent(spark, tmp_path):
     run("ckpt_fresh")
     assert view._load_ckpt() == ck_after
     assert {r.role: (r.live_turns, r.live_chars) for r in view.state().collect()} == got
+
+
+def test_debezium_reader_quarantine_and_apply(spark, tmp_path):
+    """sources/debezium.py: envelope AND unwrap-SMT forms parse; deletes
+    ride the before-image; malformed lines land in quarantine with a
+    reason (never silently dropped); parsed events apply through the
+    normal CDC path."""
+    import json
+
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+    from pyspark.sql import types as T
+    from tpc_di_spark.sources.debezium import read_debezium_json
+
+    payload = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    row = {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "v1"}
+    row2 = {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "v2"}
+    lines = [
+        # raw Connect envelope: create
+        json.dumps({"payload": {"op": "c", "ts_ms": 1000, "after": row,
+                                "source": {"lsn": 1}}}),
+        # unwrap-SMT flattened form: update (lsn via source.pos fallback)
+        json.dumps({"op": "u", "ts_ms": 2000, "before": row, "after": row2,
+                    "source": {"pos": 2}}),
+        # snapshot read of a second key
+        json.dumps({"payload": {"op": "r", "ts_ms": 1500,
+                                "after": {**row, "turn_idx": 1, "text": "snap"},
+                                "source": {"lsn": 3}}}),
+        # delete of that key: before-image only
+        json.dumps({"op": "d", "ts_ms": 3000,
+                    "before": {"conv_id": "c1", "turn_idx": 1,
+                               "role": None, "text": None},
+                    "source": {"lsn": 4}}),
+        "this is not json",
+        json.dumps({"payload": {"op": "z", "ts_ms": 1}}),          # unknown op
+        json.dumps({"op": "c", "ts_ms": 5000, "source": {"lsn": 9}}),  # no image
+        json.dumps({"op": "c", "after": row, "source": {"lsn": 10}}),  # no ts_ms
+    ]
+    src = tmp_path / "dbz.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+
+    events, quarantine = read_debezium_json(spark, str(src), payload)
+    ev = {(r.cdc_flag, r.cdc_dsn): (r.conv_id, r.turn_idx, r.text) for r in events.collect()}
+    assert ev == {
+        ("I", 1): ("c1", 0, "v1"),
+        ("U", 2): ("c1", 0, "v2"),
+        ("I", 3): ("c1", 1, "snap"),
+        ("D", 4): ("c1", 1, None),
+    }
+    reasons = sorted(r.reason for r in quarantine.collect())
+    assert reasons == [
+        "missing or unknown op",
+        "missing ts_ms",
+        "no row image for op",
+        "unparseable json",
+    ]
+
+    # end-to-end: the parsed tail applies through the normal CDC path
+    table = bootstrap_table(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    CdcOrchestrator(table, count_input=False).apply_batch(events, 1)
+    state = {(r.conv_id, r.turn_idx): r.text for r in current_state(table).collect()}
+    assert state == {("c1", 0): "v2"}
+
+    # streaming twin: the same JSONL dir tailed via readStream into the
+    # same CDC machinery yields the same final state
+    from tpc_di_spark.sources.debezium import stream_debezium_events
+    from tpc_di_spark.streaming.stream_apply import start_cdc_stream
+
+    t2 = bootstrap_table(spark, str(tmp_path / "lake2"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    q = start_cdc_stream(
+        stream_debezium_events(spark, str(tmp_path) + "/*.jsonl", payload),
+        CdcOrchestrator(t2, count_input=False),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert {
+        (r.conv_id, r.turn_idx): r.text for r in current_state(t2).collect()
+    } == state

@@ -107,4 +107,51 @@ def make_sidecars(sf_dir: str) -> str:
     _write_atomic(
         os.path.join(out, "BatchDate.txt"), f"# extract metadata\n{BATCH_DATE}\n"
     )
+
+    # changes.debezium.jsonl — a raw-Connect-envelope Debezium changelog
+    # derived from the events table (same op distribution as
+    # _derive_change_events: %20==0 delete, %3==0 update, every 7th
+    # insert arrives as a snapshot 'r' read). Two malformed lines
+    # exercise the reader's quarantine side-output; DuckDB's oracle read
+    # skips them via ignore_errors.
+    import datetime as _dt
+    import json as _json
+
+    _, evs = _rows(sf_dir, "events", "event_id")
+    jlines = []
+    for r in evs:
+        eid = r["event_id"]
+        if eid % 20 == 0:
+            op = "d"
+        elif eid % 3 == 0:
+            op = "u"
+        else:
+            op = "r" if eid % 7 == 0 else "c"
+        row = {
+            "conv_id": f"conv-{r['user_id']:06d}",
+            "turn_idx": eid % 50,
+            "role": ["user", "assistant", "tool"][eid % 3],
+            "text": f"text u{r['user_id']} t{eid % 50} e{eid}",
+        }
+        # pyarrow hands back naive datetimes; pin UTC so the fixture is
+        # byte-identical regardless of the generating host's TZ
+        ts_ms = int(r["ts"].replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+        payload = {
+            "op": op,
+            "ts_ms": ts_ms,
+            "before": (
+                {"conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
+                 "role": None, "text": None}
+                if op == "d"
+                else None
+            ),
+            "after": None if op == "d" else row,
+            "source": {"lsn": eid, "pos": None},
+        }
+        jlines.append(_json.dumps({"payload": payload}, sort_keys=True))
+    jlines.insert(3, '{"payload": {"op": "x", "ts_ms": 1}}')  # unknown op
+    jlines.insert(9, "{not json at all")  # unparseable
+    _write_atomic(
+        os.path.join(out, "changes.debezium.jsonl"), "\n".join(jlines) + "\n"
+    )
     return out
