@@ -2124,11 +2124,10 @@ _DBZ_PAYLOAD = T.StructType(
 
 def q51_debezium_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpc_di_spark.sources.debezium import read_debezium_json
+    from tpc_di_spark.sources.sidecar_fixtures import make_debezium_sidecar
 
-    out = make_sidecars(_SIDECAR_SF_DIR)
-    events, _quarantine = read_debezium_json(
-        spark, os.path.join(out, "changes.debezium.jsonl"), _DBZ_PAYLOAD
-    )
+    path = make_debezium_sidecar(_SIDECAR_SF_DIR)
+    events, _quarantine = read_debezium_json(spark, path, _DBZ_PAYLOAD)
     return events.select(
         "cdc_flag", "cdc_dsn", "conv_id", "turn_idx", "role", "text", "ts"
     )
@@ -2170,6 +2169,9 @@ WHERE i IS NOT NULL
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
     make_sidecars(_SIDECAR_SF_DIR)
+    from tpc_di_spark.sources.sidecar_fixtures import make_debezium_sidecar
+
+    make_debezium_sidecar(_SIDECAR_SF_DIR)
 except Exception:  # testdata absent in some environments — queries regenerate
     pass
 

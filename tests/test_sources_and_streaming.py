@@ -527,6 +527,7 @@ def test_debezium_reader_quarantine_and_apply(spark, tmp_path):
         json.dumps({"payload": {"op": "z", "ts_ms": 1}}),          # unknown op
         json.dumps({"op": "c", "ts_ms": 5000, "source": {"lsn": 9}}),  # no image
         json.dumps({"op": "c", "after": row, "source": {"lsn": 10}}),  # no ts_ms
+        json.dumps({"op": "c", "ts_ms": 6000, "after": row}),  # no source position
     ]
     src = tmp_path / "dbz.jsonl"
     src.write_text("\n".join(lines) + "\n")
@@ -541,10 +542,11 @@ def test_debezium_reader_quarantine_and_apply(spark, tmp_path):
     }
     reasons = sorted(r.reason for r in quarantine.collect())
     assert reasons == [
+        "malformed json or schema mismatch",
         "missing or unknown op",
+        "missing source position",
         "missing ts_ms",
         "no row image for op",
-        "unparseable json",
     ]
 
     # end-to-end: the parsed tail applies through the normal CDC path
@@ -559,12 +561,22 @@ def test_debezium_reader_quarantine_and_apply(spark, tmp_path):
     from tpc_di_spark.streaming.stream_apply import start_cdc_stream
 
     t2 = bootstrap_table(spark, str(tmp_path / "lake2"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    raw_stream, transform = stream_debezium_events(
+        spark, str(tmp_path) + "/*.jsonl", payload
+    )
+    qdir = str(tmp_path / "quarantine")
     q = start_cdc_stream(
-        stream_debezium_events(spark, str(tmp_path) + "/*.jsonl", payload),
+        raw_stream,
         CdcOrchestrator(t2, count_input=False),
         str(tmp_path / "ckpt"),
+        transform=transform,
+        quarantine_dir=qdir,
     )
     q.awaitTermination(120)
     assert {
         (r.conv_id, r.turn_idx): r.text for r in current_state(t2).collect()
     } == state
+    # the poisoned lines landed durably, with reasons, on the streaming
+    # path too (no silent loss)
+    qrows = spark.read.parquet(qdir + "/epoch-*").collect()
+    assert len(qrows) == 5 and all(r.reason for r in qrows)

@@ -77,27 +77,41 @@ def stream_debezium_events(
     source_dir: str,
     payload_schema: StructType,
     max_files_per_trigger: int = 8,
-) -> DataFrame:
+    allow_ts_ms_position: bool = False,
+):
     """Streaming twin of :func:`read_debezium_json`: a Debezium JSONL
-    file-tail as a ``readStream`` source, ready for
-    ``streaming.stream_apply.start_cdc_stream`` (quarantined lines are
-    dropped here — a streaming sink for them is the caller's
-    ``foreachBatch`` concern; use :func:`parse_debezium` directly to
-    route both sides)."""
+    file-tail. Returns ``(raw_stream, transform)`` to hand to
+    ``streaming.stream_apply.start_cdc_stream(events=raw_stream,
+    transform=transform, quarantine_dir=...)`` — the parse runs INSIDE
+    each micro-batch so quarantined lines are routed to a durable sink
+    rather than dropped (the module's no-silent-loss invariant holds on
+    the streaming path too)."""
     raw = (
         spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
         .text(source_dir)
         .withColumnRenamed("value", "raw")
     )
-    events, _quarantine = parse_debezium(raw, payload_schema)
-    return events
+
+    def transform(batch_df: DataFrame):
+        return parse_debezium(batch_df, payload_schema, allow_ts_ms_position)
+
+    return raw, transform
 
 
 def parse_debezium(
-    raw: DataFrame, payload_schema: StructType
+    raw: DataFrame,
+    payload_schema: StructType,
+    allow_ts_ms_position: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Column-expression Debezium parse over any ``raw: string`` lines
-    DataFrame (batch or streaming)."""
+    DataFrame (batch or streaming).
+
+    ``allow_ts_ms_position=True`` lets an event with no source position
+    fall back to ``ts_ms`` as its ``cdc_dsn``. OFF by default: lsn/pos
+    and epoch-millis are incomparable numeric domains, and one
+    ts_ms-positioned event in an lsn-ordered feed would win every future
+    LWW tie for its key (silently discarding later legitimate changes) —
+    positionless events are quarantined instead."""
     parsed = raw.withColumn(
         "_e",
         F.from_json(
@@ -111,27 +125,32 @@ def parse_debezium(
         return F.coalesce(F.col(f"_e.payload.{field}"), F.col(f"_e.{field}"))
 
     op = pick("op")
-    image = F.coalesce(pick("after"), pick("before"))
     flag = (
         F.when(op.isin("c", "r"), F.lit("I"))
         .when(op == "u", F.lit("U"))
         .when(op == "d", F.lit("D"))
     )
-    # 'd' events may legitimately carry only `before`; c/r/u need `after`.
-    row_image = F.when(op == "d", image).otherwise(pick("after"))
-    dsn = F.coalesce(
-        pick("source").getField("lsn"),
-        pick("source").getField("pos"),
-        pick("ts_ms"),
+    # 'd' rides the BEFORE image only (Debezium's contract, and what the
+    # engine needs: the business key of the row being deleted). Taking a
+    # stray after-image instead would delete the wrong key on
+    # nonstandard key-change deletes. c/r/u need `after`.
+    row_image = F.when(op == "d", pick("before")).otherwise(pick("after"))
+    position = F.coalesce(
+        pick("source").getField("lsn"), pick("source").getField("pos")
     )
+    dsn = F.coalesce(position, pick("ts_ms")) if allow_ts_ms_position else position
     reason = (
         F.when(
             F.col("_e").isNull() | F.col("_e._corrupt").isNotNull(),
-            F.lit("unparseable json"),
+            # PERMISSIVE from_json lands both broken framing AND
+            # schema-coercion failures here — name both so quarantine
+            # triage doesn't hunt for the wrong producer defect.
+            F.lit("malformed json or schema mismatch"),
         )
         .when(flag.isNull(), F.lit("missing or unknown op"))
         .when(row_image.isNull(), F.lit("no row image for op"))
         .when(pick("ts_ms").isNull(), F.lit("missing ts_ms"))
+        .when(dsn.isNull(), F.lit("missing source position"))
     )
     tagged = parsed.select(
         "raw",

@@ -107,13 +107,19 @@ def make_sidecars(sf_dir: str) -> str:
     _write_atomic(
         os.path.join(out, "BatchDate.txt"), f"# extract metadata\n{BATCH_DATE}\n"
     )
+    return out
 
-    # changes.debezium.jsonl — a raw-Connect-envelope Debezium changelog
-    # derived from the events table (same op distribution as
-    # _derive_change_events: %20==0 delete, %3==0 update, every 7th
-    # insert arrives as a snapshot 'r' read). Two malformed lines
-    # exercise the reader's quarantine side-output; DuckDB's oracle read
-    # skips them via ignore_errors.
+
+def make_debezium_sidecar(sf_dir: str) -> str:
+    """changes.debezium.jsonl — a raw-Connect-envelope Debezium changelog
+    derived from the events table (same op distribution as
+    _derive_change_events: %20==0 delete, %3==0 update, every 7th
+    insert arrives as a snapshot 'r' read). Two malformed lines
+    exercise the reader's quarantine side-output; DuckDB's oracle read
+    skips them via ignore_errors. Separate from make_sidecars so the
+    CSV/fixed-width queries don't pay this 10k-line serialization."""
+    out = sidecar_dir(sf_dir)
+    os.makedirs(out, exist_ok=True)
     import datetime as _dt
     import json as _json
 
@@ -154,4 +160,4 @@ def make_sidecars(sf_dir: str) -> str:
     _write_atomic(
         os.path.join(out, "changes.debezium.jsonl"), "\n".join(jlines) + "\n"
     )
-    return out
+    return os.path.join(out, "changes.debezium.jsonl")

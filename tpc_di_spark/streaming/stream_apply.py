@@ -42,6 +42,8 @@ def start_cdc_stream(
     mode: str = "cow",
     compact_every: int = 0,
     consumers: list | None = None,
+    transform=None,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """Drive a change-event stream into the lake table.
 
@@ -64,11 +66,23 @@ def start_cdc_stream(
     followed by a re-refresh (empty pending range) is a no-op end to end.
     Under mode='mor' each consumer holds below the pending deltas and
     catches up at compaction (the materialization horizon).
+
+    ``transform``: optional ``raw_batch -> (events, quarantine)`` parse
+    applied INSIDE each micro-batch (e.g. the Debezium tail's
+    ``parse_debezium``); rejected rows land under ``quarantine_dir`` in
+    a per-epoch subdirectory — overwritten on re-delivery, so quarantine
+    output is exactly-once alongside the apply.
     """
     from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         bid = base_batch_id + int(epoch_id)
+        if transform is not None:
+            batch_df, quarantine = transform(batch_df)
+            if quarantine_dir is not None:
+                quarantine.write.mode("overwrite").parquet(
+                    f"{quarantine_dir}/epoch-{int(epoch_id):06d}"
+                )
         if mode == "mor":
             apply_batch_mor(orchestrator, batch_df, bid)
             if compact_every and (int(epoch_id) + 1) % compact_every == 0:
