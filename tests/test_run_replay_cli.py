@@ -1,0 +1,66 @@
+"""The spark-submit deployment surface (run_replay.py): the north_rule's
+`spark-submit --py-files` shape must work end-to-end from a clean
+process — demo replay, exactly-once rerun, MoR mode with compaction."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _submit(args, tmp_path):
+    pkg = tmp_path / "pkg.zip"
+    if not pkg.exists():
+        shutil.make_archive(str(tmp_path / "pkg"), "zip", REPO, "tpc_di_spark")
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    cmd = [
+        spark_submit, "--master", "local[4]", "--py-files", str(pkg),
+        os.path.join(REPO, "tpc_di_spark", "run_replay.py"),
+    ] + args
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g")
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return [json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")]
+
+
+def test_cli_demo_replay_and_exactly_once(tmp_path):
+    table_dir = str(tmp_path / "lake")
+    args = ["--table-dir", table_dir, "--demo", "5000",
+            "--num-buckets", "8", "--buckets-per-group", "8", "--cores", "4"]
+    recs = _submit(args, tmp_path)
+    summary = recs[-1]
+    assert summary["rows"] > 0
+    applied = [r for r in recs if r.get("batch_id")]
+    assert [r["batch_id"] for r in applied] == [1, 2, 3]
+    assert not any(r.get("skipped") for r in applied)
+    # schema evolution happened for the with_tool demo batch
+    assert any(h["summary"].get("operation") == "evolve-schema" for h in summary["history"])
+
+    # second run, same table dir: every batch skips, state unchanged
+    recs2 = _submit(args, tmp_path)
+    applied2 = [r for r in recs2 if r.get("batch_id")]
+    assert all(r.get("skipped") == "already-committed" for r in applied2)
+    assert recs2[-1]["rows"] == summary["rows"]
+    assert recs2[-1]["snapshot_id"] == summary["snapshot_id"]
+
+
+def test_cli_mor_mode_with_compaction(tmp_path):
+    table_dir = str(tmp_path / "lake_mor")
+    recs = _submit(
+        ["--table-dir", table_dir, "--demo", "4000", "--mode", "mor",
+         "--compact", "--num-buckets", "8", "--cores", "4"],
+        tmp_path,
+    )
+    assert any("compaction" in r for r in recs)
+    summary = recs[-1]
+    assert summary["rows"] > 0
+    # compaction drained the pending delta list (all materialized)
+    ops = [h["summary"].get("operation") for h in summary["history"]]
+    assert "compact-delta" in ops
