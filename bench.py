@@ -98,10 +98,10 @@ BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "700"))
 BENCH_JOB_PARTS = int(os.environ.get("BENCH_JOB_PARTS", str(SCALE_N * 4 * 2)))
 DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
 # Reserve for the post-pair stages when gating extra draws: the query
-# suite must always run (the driver records per-query timings; measured
-# ~110-125s wall at local[32] incl. session + oracle-tax queries — 150
-# leaves margin while letting a third pair draw fit when the headline is
-# short).
+# suite must always run (the driver records per-query timings; the
+# 51-query suite measured 82-130s wall at local[32] depending on window,
+# incl. session + oracle-tax queries — 150 leaves margin while letting a
+# third pair draw fit when the headline is short).
 SUITE_RESERVE_SECS = 150
 # Dedicated MoR probe: 2M events through the O(batch) delta-append path
 # on a 4N-pinned subprocess. Small enough (~30-45s incl. historical

@@ -414,3 +414,58 @@ def test_history_manifests_bound_snapshot_size(spark, tmp_path):
     stats2 = expire_snapshots(t, keep_last=1)
     assert stats2["removed_manifests"] > 0  # pre-compaction deltas now orphaned
     assert current_state(t).count() == 40
+
+
+def test_crash_during_manifest_write_leaves_table_intact(spark, tmp_path):
+    """A commit that dies while writing its history manifest (before the
+    VERSION flip) must leave the old snapshot fully live; the retry
+    commits cleanly (the half-written manifest is an unreferenced
+    orphan)."""
+    import datetime as dt
+
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(t, buckets_per_group=4)
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp"
+    )
+    orch.apply_batch(
+        spark.createDataFrame([("I", 1, "a", 0, "user", "v1", t0)], schema), 1
+    )
+    snap_before = t.snapshot.snapshot_id
+
+    orig = t.fs.write_text
+
+    def failing(path, text):
+        if "manifest-" in path:
+            raise RuntimeError("crash during manifest write")
+        return orig(path, text)
+
+    t.fs.write_text = failing
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash during manifest write"):
+        orch.apply_batch(
+            spark.createDataFrame(
+                [("U", 2, "a", 0, "user", "v2", t0 + dt.timedelta(hours=1))], schema
+            ),
+            2,
+        )
+    t.fs.write_text = orig
+    # old snapshot fully live, batch not committed
+    assert t.refresh().snapshot.snapshot_id == snap_before
+    assert not t.is_batch_committed(2)
+    assert {r.text for r in current_state(t).collect()} == {"v1"}
+    # retry commits cleanly and the state advances
+    orch.apply_batch(
+        spark.createDataFrame(
+            [("U", 2, "a", 0, "user", "v2", t0 + dt.timedelta(hours=1))], schema
+        ),
+        2,
+    )
+    assert {r.text for r in current_state(t).collect()} == {"v2"}

@@ -429,7 +429,11 @@ class LakeTable:
         registered over it. Hardlinks cost O(files) driver-side metadata
         ops and pin the inodes, so a later compaction can't invalidate a
         running scan; stale views + catalog entries of older snapshots
-        are dropped on each call (single-writer contract).
+        are dropped on each call (single-writer contract). LIFETIME: the
+        returned DataFrame is valid until the NEXT read_bucketed call on
+        this table handle (which unregisters older snapshots' views) —
+        materialize or re-read across commits; plain ``read()`` has no
+        such restriction.
         """
         snap = self.snapshot
         if family not in ("current", "history"):
