@@ -2165,6 +2165,100 @@ WHERE i IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Q52 — snapshot→tail handover (cdc/orchestrator.apply_snapshot_batch):
+# Debezium-style initial-snapshot chunks (op='r') arriving AFTER the WAL
+# tail was already applied. The engine replays the tail as two ordinary
+# CDC batches, then applies two late PK-range snapshot chunks as
+# insert-if-absent MERGEs that drop every key the tail touched —
+# including keys whose only tail event was a delete that matched no row
+# (ordered by the batch_id<0 tombstone, cdc/apply.py). The oracle
+# recomputes the reference ordering (snapshot first, tail second):
+# tail-final-state ∪ snapshot rows whose key the tail never touched.
+# Any resurrection of a tail-deleted key goes hash-red.
+# ---------------------------------------------------------------------------
+
+def q52_snapshot_handover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Tail: the full derived change stream, split into two batches.
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 2 + 1).cast("int")
+    )
+    # Snapshot: a point-in-time read (op='r' → 'I') at watermark 0, keyed
+    # off customer; convs 0-149 overlap the tail's key range (mostly
+    # dropped), 150-299 are chunk-only keys (inserted). Each key maps 5
+    # custkeys — in-chunk LWW picks the max (all same parity, one chunk).
+    c = _t(spark, sf_dir, "customer")
+    snap = c.select(
+        F.lit("I").alias("cdc_flag"),
+        F.col("c_custkey").cast("long").alias("cdc_dsn"),
+        F.format_string(
+            "conv-%06d", (F.col("c_custkey") % 300).cast("int")
+        ).alias("conv_id"),
+        (F.col("c_custkey") % 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.format_string("snap c%d", F.col("c_custkey")).alias("text"),
+        F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("ts"),
+    )
+    table_dir = _scratch_dir("cdc_q52_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    for b in (1, 2):
+        orch.apply_batch(ev.filter(F.col("_b") == b).drop("_b"), batch_id=b)
+    for i, parity in enumerate((0, 1)):  # two late PK-range chunks
+        orch.apply_snapshot_batch(
+            snap.filter(F.col("cdc_dsn") % 2 == parity),
+            batch_id=11 + i,
+            tail_start_batch=0,
+        )
+    return current_state(table).select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+Q52_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 2 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT * FROM w WHERE rn = 1),
+lastw AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY b DESC) rb
+          FROM winners),
+tail_cur AS (SELECT conv_id, turn_idx, role, text, ts FROM lastw WHERE rb = 1 AND cdc_flag <> 'D'),
+tail_keys AS (SELECT DISTINCT conv_id, turn_idx FROM ev),
+snap AS (
+  SELECT printf('conv-%06d', c_custkey % 300) AS conv_id,
+         CAST(c_custkey % 50 AS INT) AS turn_idx,
+         'user' AS role,
+         printf('snap c%d', c_custkey) AS text,
+         TIMESTAMP '2020-01-01 00:00:00' AS ts,
+         c_custkey AS cdc_dsn
+  FROM customer),
+snapw AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC, cdc_dsn DESC) rn
+          FROM snap)
+SELECT conv_id, turn_idx, role, text, ts FROM tail_cur
+UNION ALL
+SELECT s.conv_id, s.turn_idx, s.role, s.text, s.ts
+FROM snapw s
+WHERE s.rn = 1
+  AND NOT EXISTS (SELECT 1 FROM tail_keys t
+                  WHERE t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx)
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -2232,6 +2326,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_incremental_conv_stats": q49_incremental_conv_stats,
     "q50_incremental_role_view": q50_incremental_role_view,
     "q51_debezium_scan": q51_debezium_scan,
+    "q52_snapshot_handover": q52_snapshot_handover,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2290,6 +2385,7 @@ _ORACLES: dict[str, str] = {
     "q49_incremental_conv_stats": Q49_SQL,
     "q50_incremental_role_view": Q50_SQL,
     "q51_debezium_scan": Q51_SQL,
+    "q52_snapshot_handover": Q52_SQL,
 }
 
 

@@ -148,8 +148,8 @@ def test_object_store_fallback(spark, tmp_path):
 
 def test_insert_only_bootstrap_equals_merge_path(spark, tmp_path):
     """The empty-target insert-only projection must produce exactly what
-    the full-outer merge produced for a bootstrap batch (D events
-    dropped, LWW winners only, same lineage columns)."""
+    the full-outer merge produced for a bootstrap batch (D winners as
+    zero-lifetime tombstones, LWW winners only, same lineage columns)."""
     ev = _events(spark, n=3000)
     t = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=8)
     CdcOrchestrator(t, buckets_per_group=8, count_input=False).apply_batch(ev, 1)
@@ -160,8 +160,13 @@ def test_insert_only_bootstrap_equals_merge_path(spark, tmp_path):
     want = {tuple(r) for r in merge_batch_rows(empty, deduped, 1, t).collect()}
     got = {tuple(r) for r in t.read().collect()}
     assert got == want
-    # D winners inserted nothing
-    assert all(r[-4] for r in got)  # is_current
+    # D winners became tombstones (batch_id = -1, never current); every
+    # non-tombstone bootstrap row is current.
+    for r in got:
+        is_current, batch_id = r[-4], r[-1]
+        assert is_current == (batch_id == 1)
+        assert batch_id in (1, -1)
+    assert any(r[-1] == -1 for r in got)  # the generator's D share exists
 
 
 def test_rebucket_upgrades_legacy_layout(spark, tmp_path):

@@ -47,8 +47,11 @@ def _make(spark, tmp_path, name="t"):
 
 
 def _full_recompute(table):
-    """Ground truth from the table's own lineage: one row per conv."""
-    lineage = table.read()
+    """Ground truth from the table's own lineage: one row per conv.
+    Delete tombstones (batch_id < 0, cdc/apply.py) are neither created
+    nor closed versions — any full-scan recompute must exclude them,
+    mirroring the changelog reads' default."""
+    lineage = table.read().filter(F.col("batch_id") >= 0)
     return {
         r.conv_id: (r.live, r.created, r.closed)
         for r in lineage.groupBy("conv_id")

@@ -21,6 +21,13 @@ Semantics re-expressed from the reference:
   CLOSEACCT/INACT → status INACTIVE); the north_rule adds them. 'D'
   closes the current row and inserts nothing. 'U' for an absent key
   upserts (insert), matching MERGE WHEN NOT MATCHED semantics (SURVEY M3).
+- **Delete tombstones** — a 'D' whose key has NO current row still
+  leaves a zero-lifetime history row marked ``batch_id = -batch``
+  (payload NULL). Every delete is thereby ordered against later
+  arrivals: ``changed_keys_since`` sees it (snapshot-handover safety,
+  ``CdcOrchestrator.apply_snapshot_batch``), while ``rows_closed_in`` /
+  ``rows_closed_since`` exclude tombstones by default (they are not
+  before-images — no version was expired).
 """
 
 from __future__ import annotations
@@ -156,17 +163,37 @@ def merge_batch_rows(
         F.lit(batch_id).cast("int").alias("batch_id"),
     )
 
-    # Emit both rows in ONE pass over the join: a two-branch union would
+    # Row 3: a DELETE that found no current row leaves a TOMBSTONE — a
+    # zero-lifetime history row (is_current=false, effective_ts=end_ts=
+    # event ts, payload NULL except the event's own ts) marked by
+    # ``batch_id = -batch``. Without it a delete racing a not-yet-arrived
+    # row vanishes without trace and ``changed_keys_since`` cannot order
+    # a late arrival against it — exactly the CDC bootstrap-handover
+    # resurrection bug (a tail delete must beat a late Debezium snapshot
+    # chunk; see CdcOrchestrator.apply_snapshot_batch). Kafka compaction
+    # and Iceberg equality-delete files keep such markers for the same
+    # reason. The negative batch id is the exact, filterable marker:
+    # genuine closed versions always keep their creating batch id (>= 1).
+    tombstone = _tombstone_struct(
+        [F.col(f"s.{k}") for k in key], payload, table, F.col("s.ts"), batch_id
+    )
+
+    # Emit the rows in ONE pass over the join: a multi-branch union would
     # make Spark execute the (dominant) join twice. array -> filter-null ->
     # explode keeps the whole merge a single joined scan. History rows are
     # Row-1-only emissions (unmatched target side), so the output is
-    # history ∪ kept ∪ closed ∪ new-current from one operator tree.
+    # history ∪ kept ∪ closed ∪ new-current ∪ tombstones from one
+    # operator tree.
     merged = j.select(
         F.explode(
             F.array_compact(
                 F.array(
                     F.when(t_present, kept_or_closed),
                     F.when(s_present & (F.col("s.cdc_flag") != F.lit("D")), new_current),
+                    F.when(
+                        s_present & ~t_present & (F.col("s.cdc_flag") == F.lit("D")),
+                        tombstone,
+                    ),
                 )
             )
         ).alias("_r")
@@ -176,25 +203,56 @@ def merge_batch_rows(
     return merged.select(*out_cols)
 
 
+def _tombstone_struct(key_cols, payload, table: LakeTable, ts_col, batch_id: int):
+    """The tombstone row image shared by merge_batch_rows and
+    insert_only_rows: payload NULL (except the event's own ``ts``),
+    zero-lifetime lineage, ``batch_id = -batch`` marker."""
+    dtypes = {f.name: f.dataType for f in table.schema.fields}
+    return F.struct(
+        *[kc.alias(k) for kc, k in zip(key_cols, table.key_cols)],
+        *[
+            (ts_col if c == "ts" else F.lit(None).cast(dtypes[c])).alias(c)
+            for c in payload
+        ],
+        F.lit(False).alias("is_current"),
+        ts_col.alias("effective_ts"),
+        ts_col.alias("end_ts"),
+        F.lit(-batch_id).cast("int").alias("batch_id"),
+    )
+
+
 def insert_only_rows(
     deduped: DataFrame, batch_id: int, table: LakeTable
 ) -> DataFrame:
     """Replacement row set when the target's current family is EMPTY —
     the historical-load / bootstrap case. ``merge_batch_rows`` against an
     empty target degenerates row-for-row to this projection ('D' closes
-    nothing and inserts nothing; 'I'/'U' both insert — MERGE WHEN NOT
+    nothing and leaves a tombstone; 'I'/'U' both insert — MERGE WHEN NOT
     MATCHED), so the join, BOTH sort passes, and the empty-side exchange
     are skipped: the bootstrap batch becomes generation -> one bucket
-    exchange -> projection -> write."""
+    exchange -> projection -> write. Stays a SINGLE conditional
+    projection (no union): a D row flips to its tombstone image in
+    place."""
     key = list(table.key_cols)
     payload = [c for c in data_cols(table) if c not in key]
-    rows = deduped.filter(F.col("cdc_flag") != F.lit("D")).select(
+    is_del = F.col("cdc_flag") == F.lit("D")
+    dtypes = {f.name: f.dataType for f in table.schema.fields}
+    rows = deduped.select(
         *key,
-        *payload,
-        F.lit(True).alias("is_current"),
+        *[
+            (
+                F.col(c)
+                if c == "ts"
+                else F.when(is_del, F.lit(None).cast(dtypes[c])).otherwise(F.col(c)).alias(c)
+            )
+            for c in payload
+        ],
+        (~is_del).alias("is_current"),
         F.col("ts").alias("effective_ts"),
-        F.to_timestamp(F.lit(END_OF_TIME)).alias("end_ts"),
-        F.lit(batch_id).cast("int").alias("batch_id"),
+        F.when(is_del, F.col("ts"))
+        .otherwise(F.to_timestamp(F.lit(END_OF_TIME)))
+        .alias("end_ts"),
+        F.when(is_del, F.lit(-batch_id)).otherwise(F.lit(batch_id)).cast("int").alias("batch_id"),
     )
     return rows.select(*[f.name for f in table.schema.fields])
 

@@ -55,6 +55,18 @@ class OracleState:
                 closed["end_ts"] = ts
                 self.history.append(closed)
             if e["cdc_flag"] == "D":
+                if old is None:
+                    # Delete with no current row: tombstone (zero-lifetime
+                    # history row, payload NULL except ts, batch_id=-batch
+                    # marker) — mirrors cdc/apply.py.
+                    tomb = {"conv_id": key[0], "turn_idx": key[1]}
+                    for c in self.payload_cols:
+                        tomb[c] = ts if c == "ts" else None
+                    tomb["is_current"] = False
+                    tomb["effective_ts"] = ts
+                    tomb["end_ts"] = ts
+                    tomb["batch_id"] = -batch_id
+                    self.history.append(tomb)
                 continue
             new = {"conv_id": key[0], "turn_idx": key[1]}
             for c in self.payload_cols:

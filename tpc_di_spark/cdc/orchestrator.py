@@ -183,6 +183,10 @@ class CdcOrchestrator:
     def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
         """Apply one CDC batch exactly once. Returns the metrics record."""
         t0 = time.monotonic()
+        if batch_id <= 0:
+            # Negative batch ids are the delete-tombstone marker
+            # (cdc/apply.py) — real batches must stay strictly positive.
+            raise ValueError(f"batch_id must be >= 1, got {batch_id}")
         self.table.refresh()
         if self.table.is_batch_committed(batch_id):
             return {"batch_id": batch_id, "skipped": "already-committed"}
@@ -439,6 +443,126 @@ class CdcOrchestrator:
             "events_per_sec": round(n_events / elapsed, 1) if n_events and elapsed > 0 else None,
         }
         self._maybe_auto_compact(record)
+        self.table.fs.makedirs(os.path.dirname(self._metrics_path(batch_id)))
+        self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
+        self._emit_status(record)
+        return record
+
+    # ------------------------------------------------- snapshot handover
+    def apply_snapshot_batch(
+        self, events: DataFrame, batch_id: int, tail_start_batch: int = 0
+    ) -> dict:
+        """Apply one initial-/incremental-snapshot chunk (Debezium
+        ``op='r'``) that may arrive AFTER tail batches were already
+        applied — the CDC bootstrap-handover problem.
+
+        The reference sidesteps handover by strict sequencing (the
+        historical load completes before Batch2 starts, report §4.3);
+        a real binlog consumer cannot: connectors emit snapshot chunks
+        interleaved with the WAL tail (Debezium incremental snapshots /
+        Netflix DBLog watermark windows), and this engine's cross-batch
+        ordering is batch-id-first, so pushing a late point-in-time read
+        through ``apply_batch`` would clobber newer tail rows and
+        resurrect tail-deleted keys. Instead a snapshot chunk applies as
+        MERGE WHEN NOT MATCHED **insert-if-absent**:
+
+        - keys the tail touched since the handover watermark
+          (``changed_keys_since(tail_start_batch)`` — created OR closed,
+          so tail deletes are honored, INCLUDING deletes that matched no
+          row yet: those leave ``batch_id = -batch`` tombstones, see
+          ``cdc/apply.py``) are dropped: the DBLog chunk-vs-window dedup
+          rule, resolved consumer-side;
+        - keys already live in the table (pre-existing rows, overlapping
+          or re-delivered chunks) are dropped: a point-in-time read
+          never creates a new SCD2 version;
+        - the remainder inserts as new current rows via the normal
+          family-split write + exactly-once snapshot commit.
+
+        One-shot bootstrap path: the two anti-joins cost one scan of the
+        tail-touched keys (file-skipped, O(changed since watermark)) and
+        one column-pruned scan of live keys — acceptable at handover
+        time, not a steady-state cost. ``tail_start_batch`` is the
+        batch watermark recorded when the snapshot read began (0 for a
+        table born at handover).
+        """
+        t0 = time.monotonic()
+        if batch_id <= 0:
+            raise ValueError(f"batch_id must be >= 1, got {batch_id}")
+        self.table.refresh()
+        if self.table.is_batch_committed(batch_id):
+            return {"batch_id": batch_id, "skipped": "already-committed"}
+        from tpc_di_spark.cdc.mor import pending_delta_batches
+        from tpc_di_spark.lake.changelog import changed_keys_since
+
+        if pending_delta_batches(self.table):
+            # changed_keys_since reads DATA files; keys touched only in
+            # uncompacted MoR deltas are invisible to it, so applying a
+            # chunk now could resurrect a delta-deleted key.
+            raise ValueError(
+                "pending MoR delta batches exist — compact them before "
+                "applying a snapshot chunk (their touched keys are not "
+                "yet visible to changed_keys_since)"
+            )
+
+        self._maybe_evolve(events, batch_id)
+        events = align_events(events, self.table)
+        n_events = events.count() if self.count_input else None
+        # A snapshot is a set of point-in-time READS — 'D' cannot occur.
+        # Its presence means tail events were routed into the snapshot
+        # path, where their deletes would be silently ignored: refuse.
+        if events.filter(F.col("cdc_flag") == F.lit("D")).limit(1).count():
+            raise ValueError(
+                "snapshot batch contains 'D' events — deletes belong on "
+                "the tail path (apply_batch); routing them here would "
+                "silently drop them"
+            )
+        deduped = lww_dedup(
+            self.table.bucket_partitioned(events), self.table.key_cols
+        )
+        key = list(self.table.key_cols)
+        touched = changed_keys_since(self.table, tail_start_batch)
+        src = deduped.join(touched.select(*key), on=key, how="left_anti")
+        if self.table.snapshot.files:
+            live = (
+                self.table.read(family="current")
+                .filter(F.col("is_current"))
+                .select(*key)
+            )
+            src = src.join(live, on=key, how="left_anti")
+        rows = insert_only_rows(src.drop(LakeTable.BUCKET_COL), batch_id, self.table)
+        tag = f"batch-{batch_id:06d}/snapshot"
+        # assume_bucket_partitioned=False: the anti-joins' output layout
+        # is the planner's choice — let the write re-cluster the (small)
+        # surviving insert set.
+        files, _hist = self.table.write_data_files_split(
+            self.table.with_bucket(rows), tag
+        )
+        lineage_rows, fstats = self._lineage_rows(files, {})
+        snap = self.table.commit(
+            new_files_by_bucket=files,
+            mode="append",
+            batch_id=batch_id,
+            new_file_stats=fstats,
+            summary={
+                "operation": "snapshot-handover",
+                "events": n_events,
+                "tail_start_batch": tail_start_batch,
+            },
+        )
+        elapsed = time.monotonic() - t0
+        inserted = sum(lineage_rows.values()) if lineage_rows else 0
+        record = {
+            "batch_id": batch_id,
+            "snapshot_id": snap.snapshot_id,
+            "events_in": n_events,
+            "rows_inserted": inserted,
+            "rows_dropped_stale_or_present": (
+                (n_events - inserted) if n_events is not None else None
+            ),
+            "buckets_touched": len(files),
+            "tail_start_batch": tail_start_batch,
+            "secs": round(elapsed, 3),
+        }
         self.table.fs.makedirs(os.path.dirname(self._metrics_path(batch_id)))
         self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
         self._emit_status(record)

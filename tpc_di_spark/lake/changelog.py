@@ -100,11 +100,21 @@ def hist_files_of_commit_tag(
 
 
 def rows_closed_in(
-    table: LakeTable, batch_id: int, snapshot: Snapshot | None = None
+    table: LakeTable,
+    batch_id: int,
+    snapshot: Snapshot | None = None,
+    include_tombstones: bool = False,
 ) -> DataFrame:
     """The versions ``batch_id`` expired (before-images of updates and
     deletes): the history files its commit appended. Pure file
     selection — no scan of anything else.
+
+    Delete TOMBSTONES (a 'D' that matched no current row; ``batch_id =
+    -batch`` markers, see ``cdc/apply.py``) are excluded by default:
+    no version was expired, so they are not before-images — a consumer
+    counting closes against creates would otherwise go negative. Pass
+    ``include_tombstones=True`` to see them (e.g. replica-sync
+    consumers that mirror every delete event).
 
     A later compaction may rewrite those history files under its own
     tag; in that case this falls back to the SNAPSHOT that committed the
@@ -136,7 +146,10 @@ def rows_closed_in(
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
-    return table.spark.read.schema(snap.schema).parquet(*paths)
+    out = table.spark.read.schema(snap.schema).parquet(*paths)
+    if not include_tombstones:
+        out = out.filter(F.col("batch_id") >= 0)
+    return out
 
 
 def rows_created_since(
@@ -175,6 +188,7 @@ def rows_closed_since(
     after_batch_id: int,
     snapshot: Snapshot | None = None,
     upto_batch_id: int | None = None,
+    include_tombstones: bool = False,
 ) -> DataFrame:
     """The versions EXPIRED by batches after ``after_batch_id`` — the
     one-scan range form of :func:`rows_closed_in`, by closing-commit path
@@ -182,7 +196,8 @@ def rows_closed_since(
     since ``after_batch_id`` was committed (rewrites erase the closing
     tags); callers that cannot guarantee it must loop
     :func:`rows_closed_in` per batch, which recovers exactness through
-    the committing snapshot (see ``lake/incremental_agg.py``)."""
+    the committing snapshot (see ``lake/incremental_agg.py``). Delete
+    tombstones are excluded by default, as in :func:`rows_closed_in`."""
     snap = snapshot or table.snapshot
     rels = [
         rel
@@ -195,7 +210,10 @@ def rows_closed_since(
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
-    return table.spark.read.schema(snap.schema).parquet(*paths)
+    out = table.spark.read.schema(snap.schema).parquet(*paths)
+    if not include_tombstones:
+        out = out.filter(F.col("batch_id") >= 0)
+    return out
 
 
 # \d+ not \d{6}: tags are %06d-formatted, i.e. ZERO-PADDED TO AT LEAST
@@ -221,7 +239,10 @@ def changed_keys_since(
     of the stats) OR a version was CLOSED after it (a pure delete creates
     no new version, so the closed row still carries its original
     batch_id; those are found by the history files' closing-batch commit
-    tags — pure file selection).
+    tags — pure file selection). Delete TOMBSTONES ride the closed side
+    deliberately: a delete that matched nothing still touched its key,
+    and a snapshot-handover consumer must see it or it will resurrect
+    the row (``CdcOrchestrator.apply_snapshot_batch``).
 
     RETENTION GUARD: a compaction/rebucket that has already rewritten a
     closing batch's history files erases its ``batch-``/``compact-delta-``
