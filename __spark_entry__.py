@@ -2259,6 +2259,100 @@ WHERE s.rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q53 — atomic multi-table catalog (lake/catalog.py): two transcript
+# tables fed by DIFFERENT batch partitions of the same change stream,
+# published batch-by-batch with ONE catalog CAS (apply_batch_atomic).
+# After two published batches, a THIRD batch lands on table A's own
+# VERSION but is never published — the reader resolving both tables
+# THROUGH the catalog must see the batch-2-consistent pair (A's batch 3
+# invisible), the exact mid-load anomaly the reference's sequential
+# per-table scripts (Incremental1/*.py, report §4.3) expose. The oracle
+# recomputes both tables' final states from events with batch <= 2 and
+# full-outer-joins per conv: any leak of A's unpublished batch through
+# the catalog pin goes hash-red.
+# ---------------------------------------------------------------------------
+
+def q53_catalog_atomic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.lake.catalog import Catalog, apply_batch_atomic
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir)
+    ev_a = ev.withColumn("_b", (F.expr("cdc_dsn div 7") % 3 + 1).cast("int"))
+    ev_b = ev.withColumn("_b", (F.expr("cdc_dsn div 11") % 3 + 1).cast("int"))
+
+    cat = Catalog.create(spark, os.path.join(_scratch_dir("cdc_q53_"), "cat"))
+    orchs = {
+        name: CdcOrchestrator(
+            cat.create_table(name, TRANSCRIPT_SCHEMA, num_buckets=16),
+            buckets_per_group=16,
+        )
+        for name in ("transcripts", "summaries")
+    }
+    for b in (1, 2):
+        apply_batch_atomic(
+            cat,
+            {
+                "transcripts": (orchs["transcripts"], ev_a.filter(F.col("_b") == b).drop("_b")),
+                "summaries": (orchs["summaries"], ev_b.filter(F.col("_b") == b).drop("_b")),
+            },
+            batch_id=b,
+        )
+    # Batch 3 advances table A's own VERSION but is never published to
+    # the catalog — it must stay invisible to catalog-resolved reads.
+    orchs["transcripts"].apply_batch(ev_a.filter(F.col("_b") == 3).drop("_b"), 3)
+
+    def per_conv(name, prefix):
+        ct = cat.refresh().table(name)
+        return (
+            current_state(ct.table, snapshot=ct.snapshot)
+            .groupBy("conv_id")
+            .agg(
+                F.count("*").alias(f"{prefix}_live_turns"),
+                F.max("ts").alias(f"{prefix}_last_ts"),
+            )
+        )
+
+    a, b = per_conv("transcripts", "a"), per_conv("summaries", "b")
+    return (
+        a.join(b, "conv_id", "full_outer")
+        .select(
+            "conv_id", "a_live_turns", "a_last_ts", "b_live_turns", "b_last_ts"
+        )
+    )
+
+
+Q53_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         ts,
+         CAST((event_id // 7) % 3 + 1 AS INT) AS ba,
+         CAST((event_id // 11) % 3 + 1 AS INT) AS bb
+  FROM events),
+wa AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, ba ORDER BY ts DESC, cdc_dsn DESC) rn
+       FROM ev WHERE ba <= 2),
+la AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ba DESC) rb
+       FROM wa WHERE rn = 1),
+a AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS a_live_turns, MAX(ts) AS a_last_ts
+      FROM la WHERE rb = 1 AND cdc_flag <> 'D' GROUP BY conv_id),
+wb AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, bb ORDER BY ts DESC, cdc_dsn DESC) rn
+       FROM ev WHERE bb <= 2),
+lb AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY bb DESC) rb
+       FROM wb WHERE rn = 1),
+b AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS b_live_turns, MAX(ts) AS b_last_ts
+      FROM lb WHERE rb = 1 AND cdc_flag <> 'D' GROUP BY conv_id)
+SELECT COALESCE(a.conv_id, b.conv_id) AS conv_id,
+       a_live_turns, a_last_ts, b_live_turns, b_last_ts
+FROM a FULL OUTER JOIN b ON a.conv_id = b.conv_id
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -2327,6 +2421,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_incremental_role_view": q50_incremental_role_view,
     "q51_debezium_scan": q51_debezium_scan,
     "q52_snapshot_handover": q52_snapshot_handover,
+    "q53_catalog_atomic_join": q53_catalog_atomic_join,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2386,6 +2481,7 @@ _ORACLES: dict[str, str] = {
     "q50_incremental_role_view": Q50_SQL,
     "q51_debezium_scan": Q51_SQL,
     "q52_snapshot_handover": Q52_SQL,
+    "q53_catalog_atomic_join": Q53_SQL,
 }
 
 

@@ -1,0 +1,287 @@
+"""Multi-table atomic catalog (lake/catalog.py).
+
+A TPC-DI incremental batch spans many tables (the reference runs
+`Incremental1/*.py` one script per table, sequentially — report §4.3);
+the catalog makes the whole batch visible atomically across tables via
+one CAS on a versioned catalog pointer (Nessie-style). These tests
+prove: pinned cross-table reads, crash-retry resume, disjoint-table
+rebase, same-table conflict, ref-based retention input, and the same
+semantics over object-store (no-rename, conditional-PUT) storage.
+"""
+
+import json
+import os
+
+import pytest
+
+from tpc_di_spark.cdc import CdcOrchestrator, current_state
+from tpc_di_spark.cdc.generator import historical_batch, incremental_batch
+from tpc_di_spark.lake.catalog import (
+    Catalog,
+    CatalogConflict,
+    apply_batch_atomic,
+)
+from tpc_di_spark.lake.fs import ObjectStoreFS
+from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+N_CONVS = 10
+TURNS = 4
+
+
+def _events(spark, batch_id, with_tool=False):
+    if batch_id == 1:
+        return historical_batch(spark, N_CONVS, TURNS)
+    return incremental_batch(
+        spark,
+        batch_id=batch_id,
+        n_events=80,
+        n_convs=N_CONVS,
+        turns_per_conv=TURNS,
+        with_tool=with_tool,
+    )
+
+
+def _fresh_catalog(spark, tmp_path, fs=None, tables=("dim_a", "dim_b")):
+    cat = Catalog.create(spark, str(tmp_path / "cat"), fs=fs)
+    orchs = {}
+    for name in tables:
+        t = cat.create_table(name, TRANSCRIPT_SCHEMA, num_buckets=4)
+        orchs[name] = CdcOrchestrator(t, buckets_per_group=4)
+    return cat, orchs
+
+
+def test_create_load_and_pinned_resolution(spark, tmp_path):
+    cat, orchs = _fresh_catalog(spark, tmp_path)
+    ev = _events(spark, 1)
+    # Table A commits NORMALLY (its own VERSION advances) …
+    orchs["dim_a"].apply_batch(ev, 1)
+
+    # … but a catalog reader still resolves A at the registered (empty)
+    # snapshot: cross-table consistency is pinning, not locking.
+    reader = Catalog.load(spark, cat.path)
+    pinned = reader.table("dim_a")
+    assert current_state(pinned.table, snapshot=pinned.snapshot).count() == 0
+    # The writer-side handle sees the advanced table.
+    assert current_state(reader.live_table("dim_a")).count() == N_CONVS * TURNS
+
+    # Publish through a transaction: now the reader (after refresh) sees it.
+    txn = cat.transaction()
+    txn.stage("dim_a", orchs["dim_a"].table)
+    txn.commit({"operation": "publish-a"})
+    reader.refresh()
+    pinned = reader.table("dim_a")
+    assert current_state(pinned.table, snapshot=pinned.snapshot).count() == N_CONVS * TURNS
+
+
+def test_apply_batch_atomic_all_or_nothing_visibility(spark, tmp_path):
+    cat, orchs = _fresh_catalog(spark, tmp_path)
+    ev = _events(spark, 1)
+    work = {n: (o, ev) for n, o in orchs.items()}
+    apply_batch_atomic(cat, work, batch_id=1)
+
+    reader = Catalog.load(spark, cat.path)
+    counts = {
+        n: current_state(
+            reader.table(n).table, snapshot=reader.table(n).snapshot
+        ).count()
+        for n in orchs
+    }
+    assert counts == {n: N_CONVS * TURNS for n in orchs}
+    assert reader.state.summary["batch_id"] == 1
+
+
+def test_crash_between_table_commit_and_catalog_flip_resumes(spark, tmp_path):
+    cat, orchs = _fresh_catalog(spark, tmp_path)
+    ev1 = _events(spark, 1)
+    apply_batch_atomic(cat, {n: (o, ev1) for n, o in orchs.items()}, batch_id=1)
+
+    # Simulate the crash: batch 2 lands on dim_a (its table VERSION
+    # advances), then the driver dies before dim_b or the catalog flip.
+    ev2 = _events(spark, 2)
+    orchs["dim_a"].apply_batch(ev2, 2)
+    v_before = Catalog.load(spark, cat.path).state.version
+
+    # Catalog readers are untouched: still the batch-1-consistent pair.
+    reader = Catalog.load(spark, cat.path)
+    assert reader.state.version == v_before
+    a_pinned = reader.table("dim_a")
+    assert (
+        current_state(a_pinned.table, snapshot=a_pinned.snapshot).count()
+        == N_CONVS * TURNS
+    )
+
+    # Retry the whole batch: dim_a skips (exactly-once), dim_b applies,
+    # one CAS publishes both.
+    cat2 = Catalog.load(spark, cat.path)
+    orchs2 = {n: CdcOrchestrator(cat2.live_table(n)) for n in orchs}
+    recs = apply_batch_atomic(
+        cat2, {n: (o, ev2) for n, o in orchs2.items()}, batch_id=2
+    )
+    assert recs["dim_a"].get("skipped") == "already-committed"
+    assert "skipped" not in recs["dim_b"]
+
+    reader.refresh()
+    a = reader.table("dim_a")
+    b = reader.table("dim_b")
+    assert (
+        current_state(a.table, snapshot=a.snapshot).count()
+        == current_state(b.table, snapshot=b.snapshot).count()
+    )
+
+
+def test_disjoint_table_rebase(spark, tmp_path):
+    cat, orchs = _fresh_catalog(spark, tmp_path)
+    ev = _events(spark, 1)
+    orchs["dim_a"].apply_batch(ev, 1)
+    orchs["dim_b"].apply_batch(ev, 1)
+
+    txn_a = cat.transaction()  # opened at the same base version …
+    txn_b = Catalog.load(spark, cat.path).transaction()
+    txn_a.stage("dim_a", orchs["dim_a"].table)
+    txn_b.stage("dim_b", orchs["dim_b"].table)
+    st_b = txn_b.commit({"operation": "b"})
+    # … txn_a's CAS loses, rebases over the disjoint commit, succeeds.
+    st_a = txn_a.commit({"operation": "a"})
+    assert st_a.version == st_b.version + 1
+    final = Catalog.load(spark, cat.path).state
+    assert final.tables["dim_a"]["snapshot_id"] > 0
+    assert final.tables["dim_b"]["snapshot_id"] > 0
+
+
+def test_same_table_concurrent_commit_conflicts(spark, tmp_path):
+    cat, orchs = _fresh_catalog(spark, tmp_path, tables=("dim_a",))
+    orchs["dim_a"].apply_batch(_events(spark, 1), 1)
+
+    txn_1 = cat.transaction()
+    txn_2 = Catalog.load(spark, cat.path).transaction()
+    txn_1.stage("dim_a", orchs["dim_a"].table)
+    txn_1.commit()
+
+    orchs["dim_a"].apply_batch(_events(spark, 2), 2)
+    txn_2.stage("dim_a", orchs["dim_a"].table)
+    # txn_2 opened before txn_1's publish and stages the SAME table:
+    # that's a lost-update hazard, not a rebase — it must refuse.
+    with pytest.raises(CatalogConflict, match="dim_a"):
+        txn_2.commit()
+
+
+def test_idempotent_republish_is_noop(spark, tmp_path):
+    cat, orchs = _fresh_catalog(spark, tmp_path, tables=("dim_a",))
+    orchs["dim_a"].apply_batch(_events(spark, 1), 1)
+    txn = cat.transaction()
+    txn.stage("dim_a", orchs["dim_a"].table)
+    v1 = txn.commit().version
+
+    # The crashed-retry tail: everything staged already published.
+    txn2 = cat.transaction()
+    txn2.stage("dim_a", orchs["dim_a"].table)
+    assert txn2.commit().version == v1
+
+
+def test_catalog_time_travel_and_retention_refs(spark, tmp_path):
+    cat, orchs = _fresh_catalog(spark, tmp_path, tables=("dim_a",))
+    snap_ids = []
+    for b in (1, 2, 3):
+        apply_batch_atomic(cat, {"dim_a": (orchs["dim_a"], _events(spark, b))}, b)
+        snap_ids.append(cat.state.tables["dim_a"]["snapshot_id"])
+
+    # Pinned read at an old catalog version == the table's own time travel.
+    old = cat.table("dim_a", version=cat.state.version - 2)
+    assert old.snapshot_id == snap_ids[0]
+    t = cat.live_table("dim_a")
+    want = current_state(t, snapshot=t.read_snapshot(snap_ids[0])).count()
+    assert current_state(old.table, snapshot=old.snapshot).count() == want
+
+    # Retention input: every catalog-referenced snapshot, newest-first walk.
+    refs = cat.referenced_snapshot_ids("dim_a")
+    assert set(snap_ids) <= refs
+    assert cat.referenced_snapshot_ids("dim_a", last_n_versions=1) == {snap_ids[-1]}
+
+
+def test_object_store_backend_race_and_create_only_states(spark, tmp_path):
+    """The same semantics over no-rename storage: VERSION flips are
+    conditional PUTs, state files are create-only, and a racer that
+    publishes our computed version first forces rebase-or-conflict."""
+    fs = ObjectStoreFS()
+    cat, orchs = _fresh_catalog(spark, tmp_path, fs=fs, tables=("dim_a", "dim_b"))
+    ev = _events(spark, 1)
+    apply_batch_atomic(cat, {n: (o, ev) for n, o in orchs.items()}, batch_id=1)
+
+    reader = Catalog.load(spark, cat.path, fs=ObjectStoreFS())
+    a = reader.table("dim_a")
+    assert current_state(a.table, snapshot=a.snapshot).count() == N_CONVS * TURNS
+
+    # Race: a second writer (separate FS handle — fresh ETag view, like a
+    # separate process) publishes the next version while txn_1 is open.
+    orchs["dim_a"].apply_batch(_events(spark, 2), 2)
+    orchs["dim_b"].apply_batch(_events(spark, 2), 2)
+    txn_1 = cat.transaction()
+    txn_1.stage("dim_a", orchs["dim_a"].table)
+
+    racer = Catalog.load(spark, cat.path, fs=ObjectStoreFS())
+    txn_2 = racer.transaction()
+    txn_2.stage("dim_b", racer.live_table("dim_b").refresh())
+    txn_2.commit({"operation": "racer"})
+
+    # Disjoint tables: txn_1 must survive the lost CAS by rebasing — and
+    # must NOT clobber the racer's already-published state file.
+    st = txn_1.commit({"operation": "ours"})
+    final = Catalog.load(spark, cat.path, fs=ObjectStoreFS()).state
+    assert final.version == st.version
+    assert final.tables["dim_a"]["snapshot_id"] == orchs["dim_a"].table.snapshot.snapshot_id
+    assert final.tables["dim_b"]["snapshot_id"] == orchs["dim_b"].table.snapshot.snapshot_id
+    # The racer's state file survived verbatim (immutable once published).
+    racer_state = json.loads(
+        ObjectStoreFS().read_text(
+            os.path.join(cat.path, "_meta", "cat-%012d.json" % (st.version - 1))
+        )
+    )
+    assert racer_state["summary"]["operation"] == "racer"
+
+
+def test_expire_snapshots_honors_catalog_refs(spark, tmp_path):
+    """Table maintenance must not break pinned catalog versions: the
+    catalog's referenced_snapshot_ids is the keep-set input to
+    expire_snapshots (Iceberg branch-ref retention)."""
+    from tpc_di_spark.lake.maintenance import expire_snapshots
+
+    cat, orchs = _fresh_catalog(spark, tmp_path, tables=("dim_a",))
+    for b in (1, 2, 3, 4):
+        # batch 4 evolves the schema -> an INTERMEDIATE evolve-schema
+        # snapshot the catalog never references sits between refs.
+        apply_batch_atomic(
+            cat, {"dim_a": (orchs["dim_a"], _events(spark, b, with_tool=(b == 4)))}, b
+        )
+
+    t = cat.live_table("dim_a")
+    pinned_old = cat.table("dim_a", version=cat.state.version - 2)  # batch-2 state
+    refs = cat.referenced_snapshot_ids("dim_a")
+    res = expire_snapshots(t, keep_last=1, keep_snapshot_ids=refs)
+    assert res.get("aborted") is None
+    # The unreferenced evolve-schema intermediate IS expired — refs keep
+    # exactly the pinned snapshots, not everything.
+    assert res["removed_snapshots"] >= 1
+
+    def read_all_pins():
+        for v in range(cat.state.version - 3, cat.state.version + 1):
+            ct = cat.table("dim_a", version=v)
+            current_state(ct.table, snapshot=ct.snapshot).count()
+
+    read_all_pins()
+
+    # SECOND expiry across the parent-chain hole the first one left
+    # (history() now truncates at the removed intermediate): refs must
+    # still be honored by direct disk probe — this exact sequence once
+    # deleted batch-1's files and broke every older pin.
+    res2 = expire_snapshots(t, keep_last=1, keep_snapshot_ids=refs)
+    assert res2.get("aborted") is None
+    assert res2["removed_files"] == 0 and res2["removed_snapshots"] == 0
+    read_all_pins()
+
+    # Drop the refs: the old pins become expirable (guard that the
+    # keep-set was load-bearing, not vacuous).
+    res3 = expire_snapshots(t, keep_last=1)
+    assert res3["removed_snapshots"] >= 2
+    assert pinned_old.snapshot_id not in {
+        h["snapshot_id"] for h in t.history()
+    }

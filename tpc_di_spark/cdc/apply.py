@@ -261,7 +261,13 @@ def current_state(table: LakeTable, snapshot=None) -> DataFrame:
     """The live view: one row per surviving (conv_id, turn_idx). Scans
     only the current file family — the is_current filter stays as a
     correctness belt (family pruning is an optimization, the filter is
-    the contract)."""
+    the contract).
+
+    Time travel presents the schema AS OF the snapshot (Iceberg
+    semantics): a handle whose table has since evolved must not project
+    post-evolution columns over a pre-evolution snapshot's files."""
+    snap = snapshot or table.snapshot
+    cols = [f.name for f in snap.schema.fields if f.name not in LINEAGE_COLS]
     return table.read(snapshot=snapshot, family="current").filter(
         F.col("is_current")
-    ).select(*data_cols(table))
+    ).select(*cols)

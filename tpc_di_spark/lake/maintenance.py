@@ -11,11 +11,16 @@ works until they are expired.
 from __future__ import annotations
 
 import os
+import re
 import time
 
 import pyspark.sql.functions as F
 
 from tpc_di_spark.lake.table import LakeTable, _atomic_write
+
+# %08d zero-pads to AT LEAST 8 — match \d+, not a fixed width (the same
+# trap the changelog tag regex hit with 7-digit streaming batch ids).
+_SNAP_RE = re.compile(r"snap-(\d+)\.json")
 
 
 def compact(
@@ -65,7 +70,10 @@ def compact(
 
 
 def expire_snapshots(
-    table: LakeTable, keep_last: int = 2, min_age_seconds: float = 0.0
+    table: LakeTable,
+    keep_last: int = 2,
+    min_age_seconds: float = 0.0,
+    keep_snapshot_ids: set | None = None,
 ) -> dict:
     """Drop snapshot metadata older than the last ``keep_last`` and delete
     data files no snapshot references anymore (orphans from compaction /
@@ -84,11 +92,26 @@ def expire_snapshots(
     single-writer model does this for free), or pass ``min_age_seconds``
     greater than the longest possible commit duration: files younger than
     that are skipped via ``TableFS.mtime`` (Iceberg's orphan-file min-age
-    rule; LastModified on object stores)."""
+    rule; LastModified on object stores).
+
+    ``keep_snapshot_ids`` extends the keep set with externally-referenced
+    snapshots — pass ``Catalog.referenced_snapshot_ids(name)`` so pinned
+    catalog versions stay readable (Iceberg's branch-ref retention rule;
+    lake/catalog.py documents the contract from the catalog side)."""
     table.refresh()
     history = table.history()
     keep_ids = {h["snapshot_id"] for h in history[-keep_last:]}
     keep_ids.add(table.snapshot.snapshot_id)
+    meta = os.path.join(table.path, "_meta")
+    # External refs (catalog pins): honor any whose snapshot file still
+    # exists; refs expired before this policy was applied are ignored
+    # rather than resurrected. Existence is probed DIRECTLY on disk — the
+    # parent-chain walk (``history()``) truncates at holes left by
+    # earlier ref-keeping expiries (non-contiguous keeps), so it must not
+    # decide which external refs are honorable.
+    for sid in keep_snapshot_ids or ():
+        if table.fs.exists(os.path.join(meta, LakeTable._snap_name(sid))):
+            keep_ids.add(sid)
 
     live: set[str] = set()
     for sid in keep_ids:
@@ -124,15 +147,16 @@ def expire_snapshots(
             table.fs.remove(fpath)
             removed_files += 1
 
+    # Enumerate snapshots by LISTING _meta, not by walking the parent
+    # chain: a hole from a previous non-contiguous expiry would hide
+    # still-on-disk snapshots from the walk, leaving them (and their
+    # files) unexpirable forever once their catalog refs are gone.
     removed_snaps = 0
-    meta = os.path.join(table.path, "_meta")
-    for h in history:
-        sid = h["snapshot_id"]
-        if sid not in keep_ids:
-            p = os.path.join(meta, LakeTable._snap_name(sid))
-            if table.fs.exists(p):
-                table.fs.remove(p)
-                removed_snaps += 1
+    for name in table.fs.listdir(meta):
+        m = _SNAP_RE.fullmatch(name)
+        if m and int(m.group(1)) not in keep_ids:
+            table.fs.remove(os.path.join(meta, name))
+            removed_snaps += 1
 
     # History manifests referenced only by expired snapshots are orphans
     # now (manifests are immutable and shared forward, so anything a kept
