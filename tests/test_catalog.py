@@ -12,6 +12,7 @@ semantics over object-store (no-rename, conditional-PUT) storage.
 import json
 import os
 
+import pyspark.sql.functions as F
 import pytest
 
 from tpc_di_spark.cdc import CdcOrchestrator, current_state
@@ -285,3 +286,89 @@ def test_expire_snapshots_honors_catalog_refs(spark, tmp_path):
     assert pinned_old.snapshot_id not in {
         h["snapshot_id"] for h in t.history()
     }
+
+
+def test_multi_table_streaming_tail_atomic_publish(spark, tmp_path):
+    """streaming/stream_apply.start_cdc_multi_stream: each micro-batch
+    fans out to N tables and ONE catalog CAS publishes the trigger.
+    Simulates the crash-after-partial-apply: one table already committed
+    the epoch's batch id (stream died before the flip) — the re-delivered
+    trigger skips it, applies the rest, and publishes atomically."""
+    import datetime as dt
+
+    from tpc_di_spark.schemas import CHANGE_EVENT_SCHEMA
+    from tpc_di_spark.streaming.stream_apply import (
+        start_cdc_multi_stream,
+        stream_events,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    f1 = spark.createDataFrame(
+        [
+            ("I", 1, "c1", 0, "user", "hello", t0),
+            ("I", 2, "c1", 1, "assistant", "hi", t0),
+            ("I", 3, "c2", 2, "user", "yo", t0),
+        ],
+        CHANGE_EVENT_SCHEMA,
+    )
+    f1.write.parquet(str(src / "f1"))
+
+    cat = Catalog.create(spark, str(tmp_path / "cat"))
+    orchs = {
+        name: CdcOrchestrator(cat.create_table(name, TRANSCRIPT_SCHEMA, num_buckets=4))
+        for name in ("even", "odd")
+    }
+    routes = {
+        "even": (orchs["even"], lambda df: df.filter(F.col("turn_idx") % 2 == 0)),
+        "odd": (orchs["odd"], lambda df: df.filter(F.col("turn_idx") % 2 == 1)),
+    }
+
+    # Crash simulation: epoch 0's batch already landed on 'even' (table
+    # VERSION advanced, catalog never flipped).
+    orchs["even"].apply_batch(
+        f1.filter(F.col("turn_idx") % 2 == 0), batch_id=1_000_000
+    )
+    v0 = cat.state.version
+
+    q = start_cdc_multi_stream(
+        stream_events(spark, str(src) + "/*", max_files_per_trigger=4),
+        cat, routes, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    cat.refresh()
+    assert cat.state.version == v0 + 1  # ONE publish for the trigger
+    assert cat.state.summary["batch_id"] == 1_000_000
+    ce, co = cat.table("even"), cat.table("odd")
+    assert current_state(ce.table, snapshot=ce.snapshot).count() == 2  # t0, t2
+    assert current_state(co.table, snapshot=co.snapshot).count() == 1  # t1
+
+    # Second file -> second trigger; restart consumes only the new epoch.
+    spark.createDataFrame(
+        [("U", 4, "c1", 0, "user", "hello-edited", t0 + dt.timedelta(seconds=5)),
+         ("D", 5, "c1", 1, None, None, t0 + dt.timedelta(seconds=6))],
+        CHANGE_EVENT_SCHEMA,
+    ).write.parquet(str(src / "f2"))
+    q2 = start_cdc_multi_stream(
+        stream_events(spark, str(src) + "/*", max_files_per_trigger=4),
+        cat, routes, str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    cat.refresh()
+    v2 = cat.state.version
+    ce, co = cat.table("even"), cat.table("odd")
+    even_rows = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in current_state(ce.table, snapshot=ce.snapshot).collect()
+    }
+    assert even_rows == {("c1", 0): "hello-edited", ("c2", 2): "yo"}
+    assert current_state(co.table, snapshot=co.snapshot).count() == 0  # t1 deleted
+
+    # Full restart over the same source: no new epochs, nothing changes.
+    q3 = start_cdc_multi_stream(
+        stream_events(spark, str(src) + "/*", max_files_per_trigger=4),
+        cat, routes, str(tmp_path / "ckpt"),
+    )
+    q3.awaitTermination(120)
+    assert Catalog.load(spark, cat.path).state.version == v2
