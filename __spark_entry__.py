@@ -2353,6 +2353,65 @@ FROM a FULL OUTER JOIN b ON a.conv_id = b.conv_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q54 — keyed state reconciliation / table diff (operators/diff.py)
+# ---------------------------------------------------------------------------
+
+def q54_state_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two replicas of the per-user LWW state that each missed
+    a different slice of the binlog (event_id % 7 == 0 vs % 11 == 0
+    dropped): row-level insert/delete/update classification via
+    operators.diff.state_diff — one null-safe struct compare over a
+    keyed full-outer join, no UDFs."""
+    from tpc_di_spark.cdc.apply import lww_dedup
+    from tpc_di_spark.operators.diff import state_diff
+
+    e = _t(spark, sf_dir, "events")
+    cmp_cols = ["event_id", "event_type", "value", "ts"]
+
+    def replica(drop_mod: int) -> DataFrame:
+        return lww_dedup(
+            e.filter(F.col("event_id") % drop_mod != 0),
+            key_cols=["user_id"],
+            seq_cols=["ts", "event_id"],
+        ).select("user_id", *cmp_cols)
+
+    return state_diff(
+        replica(7), replica(11), key_cols=["user_id"], compare_cols=cmp_cols
+    )
+
+
+Q54_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, event_type, value, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE event_id % 7 <> 0) WHERE rn = 1
+), r AS (
+  SELECT user_id, event_id, event_type, value, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE event_id % 11 <> 0) WHERE rn = 1
+)
+SELECT coalesce(l.user_id, r.user_id) AS user_id,
+       CASE WHEN l.user_id IS NULL THEN 'insert'
+            WHEN r.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       l.event_id   AS left_event_id,
+       l.event_type AS left_event_type,
+       l.value      AS left_value,
+       l.ts         AS left_ts,
+       r.event_id   AS right_event_id,
+       r.event_type AS right_event_type,
+       r.value      AS right_value,
+       r.ts         AS right_ts
+FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+WHERE l.user_id IS NULL OR r.user_id IS NULL
+   OR l.event_id IS DISTINCT FROM r.event_id
+   OR l.event_type IS DISTINCT FROM r.event_type
+   OR l.value IS DISTINCT FROM r.value
+   OR l.ts IS DISTINCT FROM r.ts
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -2422,6 +2481,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_debezium_scan": q51_debezium_scan,
     "q52_snapshot_handover": q52_snapshot_handover,
     "q53_catalog_atomic_join": q53_catalog_atomic_join,
+    "q54_state_reconcile": q54_state_reconcile,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2482,6 +2542,7 @@ _ORACLES: dict[str, str] = {
     "q51_debezium_scan": Q51_SQL,
     "q52_snapshot_handover": Q52_SQL,
     "q53_catalog_atomic_join": Q53_SQL,
+    "q54_state_reconcile": Q54_SQL,
 }
 
 

@@ -453,3 +453,85 @@ def test_ivf_topk_and_kmeans(spark):
     assert curve[4] >= 0.65, f"trained IVF recall@5 too low at nprobe=4: {curve}"
     assert curve[1] <= curve[2] <= curve[4] <= curve[8], f"recall not monotone: {curve}"
     assert curve[8] >= 0.9, f"full-probe recall must approach exact: {curve}"
+
+
+def test_state_diff_classification(spark):
+    """insert/delete/update/unchanged under null-safe keys and values
+    (operators/diff.py)."""
+    from tpc_di_spark.operators.diff import diff_summary, state_diff
+
+    left = spark.createDataFrame(
+        [
+            ("a", 1, "x"),
+            ("b", 2, None),   # value diff vs right
+            ("c", 3, "z"),    # unchanged
+            ("d", 4, "w"),    # delete (absent right)
+            (None, 9, "n"),   # NULL key present both sides, unchanged
+        ],
+        "k string, v int, s string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 1, "x"),    # wait — make 'a' an update on v
+            ("b", 2, "y"),
+            ("c", 3, "z"),
+            ("e", 5, "q"),    # insert (absent left)
+            (None, 9, "n"),
+        ],
+        "k string, v int, s string",
+    )
+    right = right.replace(1, 10, subset=["v"])  # 'a' becomes an update
+    d = state_diff(left, right, key_cols=["k"]).collect()
+    by_key = {r.k: r for r in d}
+    assert by_key["a"].change_type == "update" and by_key["a"].right_v == 10
+    assert by_key["b"].change_type == "update"
+    assert by_key["b"].left_s is None and by_key["b"].right_s == "y"
+    assert by_key["d"].change_type == "delete" and by_key["d"].right_v is None
+    assert by_key["e"].change_type == "insert" and by_key["e"].left_v is None
+    # unchanged rows (c and the NULL key) are excluded by default
+    assert "c" not in by_key and None not in by_key
+
+    full = state_diff(left, right, key_cols=["k"], include_unchanged=True)
+    counts = {r.change_type: r["count"] for r in diff_summary(full).collect()}
+    assert counts == {"insert": 1, "delete": 1, "update": 2, "unchanged": 2}
+
+
+def test_reconcile_current_state_matches_oracle(spark, tmp_path):
+    """Pipeline drift audit: the ingested table reconciles cleanly
+    against the single-threaded oracle replay; a poisoned expectation
+    surfaces as exactly the classified rows."""
+    import pyspark.sql.functions as F
+
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.generator import historical_batch, incremental_batch
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.cdc.oracle import OracleState
+    from tpc_di_spark.operators.diff import reconcile_current_state
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    table = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    orch = CdcOrchestrator(table)
+    batches = [
+        historical_batch(spark, 30, 4),
+        incremental_batch(spark, 2, n_events=40, n_convs=30, turns_per_conv=4),
+    ]
+    oracle = OracleState(payload_cols=["role", "text", "ts"])
+    for i, b in enumerate(batches, start=1):
+        orch.apply_batch(b, i)
+        oracle.apply_batch(b.toPandas(), i)
+    expected = spark.createDataFrame(
+        oracle.current_df()[["conv_id", "turn_idx", "role", "text", "ts"]]
+    )
+
+    assert reconcile_current_state(table, expected).count() == 0
+
+    poisoned = expected.withColumn(
+        "text",
+        F.when(F.col("conv_id") == "conv-000005", F.lit("tampered")).otherwise(
+            F.col("text")
+        ),
+    )
+    drift = reconcile_current_state(table, poisoned).collect()
+    assert len(drift) > 0
+    assert all(r.change_type == "update" for r in drift)
+    assert all(r.conv_id == "conv-000005" for r in drift)

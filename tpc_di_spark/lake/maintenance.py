@@ -21,6 +21,7 @@ from tpc_di_spark.lake.table import LakeTable, _atomic_write
 # %08d zero-pads to AT LEAST 8 — match \d+, not a fixed width (the same
 # trap the changelog tag regex hit with 7-digit streaming batch ids).
 _SNAP_RE = re.compile(r"snap-(\d+)\.json")
+_WAP_SNAP_RE = re.compile(r"snap-(\d+)-wap-(.+)\.json")
 
 
 def compact(
@@ -113,7 +114,19 @@ def expire_snapshots(
         if table.fs.exists(os.path.join(meta, LakeTable._snap_name(sid))):
             keep_ids.add(sid)
 
+    # WAP branch refs (lake/wap.py): a staged branch pins its fork-point
+    # snapshot (it is the branch chain's parent) and its staged chains'
+    # data files — both until publish/abort. Same retention rule as the
+    # catalog pins above, wired in here so callers cannot forget it.
+    from tpc_di_spark.lake import wap as _wap
+
+    live_refs = _wap.list_branches(table)
+    for sid in {ref["fork_id"] for ref in live_refs.values()}:
+        if table.fs.exists(os.path.join(meta, LakeTable._snap_name(sid))):
+            keep_ids.add(sid)
+
     live: set[str] = set()
+    live.update(_wap.live_branch_files(table))
     for sid in keep_ids:
         s = table.read_snapshot(sid)
         for fmap in (s.files, s.hist_files):
@@ -158,6 +171,21 @@ def expire_snapshots(
             table.fs.remove(os.path.join(meta, name))
             removed_snaps += 1
 
+    # Staged WAP snapshots whose branch ref is gone (out-of-band ref
+    # delete, or an abort that crashed mid-cleanup) are metadata orphans;
+    # live branches' snaps are protected by the ref probe above. Same
+    # min-age guard as data files (a begin() writes the ref before any
+    # staged snapshot, but don't race a same-instant writer).
+    for name in table.fs.listdir(meta):
+        m = _WAP_SNAP_RE.fullmatch(name)
+        if m and m.group(2) not in live_refs:
+            p = os.path.join(meta, name)
+            if min_age_seconds > 0 and now - table.fs.mtime(p) < min_age_seconds:
+                skipped_young += 1
+                continue
+            table.fs.remove(p)
+            removed_snaps += 1
+
     # History manifests referenced only by expired snapshots are orphans
     # now (manifests are immutable and shared forward, so anything a kept
     # snapshot lists stays).
@@ -166,6 +194,9 @@ def expire_snapshots(
         live_manifests.update(
             table.read_snapshot(sid, hydrate=False).hist_manifests
         )
+    # Staged WAP chains reference manifests too (their commits write
+    # delta manifests into the shared _meta namespace).
+    live_manifests.update(_wap.live_branch_manifests(table))
     removed_manifests = 0
     for name in table.fs.listdir(meta):
         if name.startswith("manifest-") and os.path.join("_meta", name) not in live_manifests:

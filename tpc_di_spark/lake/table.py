@@ -496,6 +496,91 @@ class LakeTable:
                 if entry != keep:
                     self.fs.rmtree(os.path.join(view_root, entry))
 
+    def lookup(
+        self,
+        keys: dict | Sequence[dict],
+        family: str = "current",
+        snapshot: Snapshot | None = None,
+    ) -> DataFrame:
+        """Bucket-pruned POINT LOOKUP: fetch the rows for a handful of
+        business keys without scanning the table.
+
+        Two pruning layers compose:
+
+        1. **Bucket pruning** — each key's bucket is computed with the
+           table's own ``bucket_expr`` (one metadata-sized Spark job over
+           the key list), and only those buckets' files are scanned:
+           k keys read at most k/B of the table.
+        2. **Row-group pruning** — the keys become a literal
+           ``OR``-of-``AND`` predicate, which Spark pushes into the
+           parquet scan; on a key-sorted table (``write.sort_keys``) the
+           row-group min/max stats then skip everything but the matching
+           group, so a lookup on a 10^10-row table reads a few MB.
+
+        Every key dict must provide ALL bucket columns (the table hashes
+        the full business key precisely so hot conversations salt across
+        buckets — which also means a ``conv_id``-only probe cannot prune
+        and should use a filtered ``read()`` instead; a ``ValueError``
+        says so rather than silently full-scanning). Extra columns beyond
+        the bucket columns are matched as ordinary equality filters.
+
+        Serving-path notes: ``family="current"`` answers "live state of
+        this key"; ``family="all"`` returns its full SCD2 lineage. The
+        lookup reads the BASE table — on a MoR table with pending delta
+        batches, fold them via :func:`tpc_di_spark.cdc.mor.read_merged`
+        or compact first. Above ~``max_predicate_keys`` keys the literal
+        predicate would bloat the plan, so the filter downgrades to a
+        broadcast semi-join (bucket pruning still applies); for
+        genuinely large key sets use the merge path instead.
+        """
+        if isinstance(keys, dict):
+            keys = [keys]
+        if not keys:
+            return self.spark.createDataFrame([], (snapshot or self.snapshot).schema)
+        snap = snapshot or self.snapshot
+        cols = [f.name for f in snap.schema.fields if f.name in keys[0]]
+        for k in keys:
+            if set(k) != set(cols):
+                raise ValueError("every lookup key must provide the same columns")
+        missing = [c for c in snap.bucket_cols if c not in cols]
+        if missing:
+            raise ValueError(
+                f"lookup needs all bucket columns {snap.bucket_cols} "
+                f"(missing {missing}); keys are salted across buckets by "
+                "the FULL business key, so a partial key cannot prune — "
+                "use read().filter(...) for prefix scans"
+            )
+        key_schema = StructType([f for f in snap.schema.fields if f.name in cols])
+        key_df = self.spark.createDataFrame(
+            [tuple(k[c] for c in cols) for k in keys], key_schema
+        )
+        # One tiny job (|keys| rows) — the same bucket function the data
+        # was placed with, so driver/table hash skew is impossible.
+        buckets = sorted(
+            r[0]
+            for r in key_df.select(
+                self.bucket_expr().alias("b")
+            ).distinct().collect()
+        )
+        df = self.read(buckets=buckets, family=family, snapshot=snap)
+        max_predicate_keys = 64
+        if len(keys) <= max_predicate_keys:
+            pred = None
+            for k in keys:
+                one = None
+                for c in cols:
+                    term = (
+                        F.col(c).isNull()
+                        if k[c] is None
+                        else (F.col(c) == F.lit(k[c]))
+                    )
+                    one = term if one is None else (one & term)
+                pred = one if pred is None else (pred | one)
+            return df.filter(pred)
+        from pyspark.sql.functions import broadcast
+
+        return df.join(broadcast(key_df), on=cols, how="left_semi")
+
     # ---------------------------------------------------------------- writes
     def _bucket_clustered(
         self, df_with_bucket: DataFrame, assume_bucket_partitioned: bool
