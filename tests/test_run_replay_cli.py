@@ -64,3 +64,24 @@ def test_cli_mor_mode_with_compaction(tmp_path):
     # compaction drained the pending delta list (all materialized)
     ops = [h["summary"].get("operation") for h in summary["history"]]
     assert "compact-delta" in ops
+
+
+def test_cli_wap_demo_replay(tmp_path):
+    """--wap stages each demo batch on a branch, audits, and publishes:
+    all three batches land, audits are recorded in the per-batch output,
+    and no branch refs remain."""
+    table_dir = str(tmp_path / "lake_wap")
+    recs = _submit(
+        ["--table-dir", table_dir, "--demo", "3000", "--wap",
+         "--num-buckets", "8", "--buckets-per-group", "8", "--cores", "4"],
+        tmp_path,
+    )
+    applied = [r for r in recs if r.get("batch_id")]
+    assert [r["batch_id"] for r in applied] == [1, 2, 3]
+    for r in applied:
+        assert r["wap"]["published"] is True
+        assert all(c["ok"] for c in r["wap"]["audit"])
+    assert recs[-1]["rows"] > 0
+    assert not os.path.exists(os.path.join(table_dir, "_meta", "refs")) or not os.listdir(
+        os.path.join(table_dir, "_meta", "refs")
+    )

@@ -580,3 +580,70 @@ def test_debezium_reader_quarantine_and_apply(spark, tmp_path):
     # path too (no silent loss)
     qrows = spark.read.parquet(qdir + "/epoch-*").collect()
     assert len(qrows) == 5 and all(r.reason for r in qrows)
+
+
+def test_streaming_wap_audit_gate(spark, tmp_path):
+    """Per-micro-batch write-audit-publish on the streaming tail
+    (stream_apply audit_checks): a passing epoch publishes, a failing
+    epoch is quarantined with its audit report and never reaches
+    readers, and a restart re-delivers nothing."""
+    import datetime as dt
+    import json
+
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.lake.wap import list_branches, row_count_delta
+    from tpc_di_spark.schemas import CHANGE_EVENT_SCHEMA, TRANSCRIPT_SCHEMA
+    from tpc_di_spark.streaming.stream_apply import start_cdc_stream, stream_events
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    # Epoch 0: 2 inserts (inside the <=3-row growth envelope). Epoch 1:
+    # 5 inserts (violates it — a runaway upstream).
+    spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "v1", t0),
+         ("I", 2, "c2", 0, "user", "w1", t0)],
+        CHANGE_EVENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("I", i, f"c{i}", 0, "user", "x", t0 + dt.timedelta(seconds=i))
+         for i in range(10, 15)],
+        CHANGE_EVENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    table = bootstrap_table(spark, str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(table)
+    qdir = tmp_path / "quarantine"
+
+    def run(ckpt):
+        q = start_cdc_stream(
+            stream_events(spark, str(src) + "/*", max_files_per_trigger=1),
+            orch, str(tmp_path / ckpt), mode="cow",
+            audit_checks=[row_count_delta(max_delta=3)],
+            quarantine_dir=str(qdir),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt")
+    table.refresh()
+    # Only the passing epoch is visible; no branch refs linger.
+    state = {r.conv_id: r.text for r in current_state(table).collect()}
+    assert state == {"c1": "v1", "c2": "w1"}
+    assert list_branches(table) == {}
+    # The failing epoch is quarantined with its report.
+    edir = qdir / "audit-failed-epoch-000001"
+    assert spark.read.parquet(str(edir)).count() == 5
+    report = json.loads((edir / "_audit.json").read_text())
+    assert any(not r["ok"] for r in report)
+
+    # Restart: nothing re-delivered, state unchanged.
+    run("ckpt")
+    table.refresh()
+    assert {r.conv_id: r.text for r in current_state(table).collect()} == state
+
+    # Wiped checkpoint: the published epoch re-stages as a committed
+    # no-op and re-publishes nothing; the failed epoch re-fails.
+    run("ckpt_fresh")
+    table.refresh()
+    assert {r.conv_id: r.text for r in current_state(table).collect()} == state

@@ -33,6 +33,14 @@ def main(argv=None) -> int:
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--buckets-per-group", type=int, default=64)
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument(
+        "--wap",
+        action="store_true",
+        help="write-audit-publish: stage each batch on a branch ref, audit "
+        "(business-key uniqueness, non-null keys, monotone live count), "
+        "publish only on pass; a failing batch aborts without touching "
+        "readers (lake/wap.py)",
+    )
     args = p.parse_args(argv)
 
     from tpc_di_spark.cdc import CdcOrchestrator
@@ -64,7 +72,29 @@ def main(argv=None) -> int:
     batches.sort(key=lambda x: x[0])
 
     for bid, df in batches:
-        if args.mode == "mor":
+        if args.wap and args.mode == "cow":
+            from tpc_di_spark.lake.wap import (
+                AuditFailed,
+                WapBranch,
+                not_null,
+                unique_business_key,
+            )
+
+            wap = WapBranch.begin(table, f"batch-{bid}")
+            rec = CdcOrchestrator(
+                wap.staged, buckets_per_group=args.buckets_per_group
+            ).apply_batch(df, bid)
+            try:
+                audit = wap.audit(
+                    [unique_business_key(), not_null(table.key_cols)]
+                )
+                wap.publish()
+                rec["wap"] = {"published": True, "audit": audit}
+            except AuditFailed as e:
+                wap.abort()
+                rec["wap"] = {"published": False, "audit": e.results}
+            table.refresh()
+        elif args.mode == "mor":
             rec = apply_batch_mor(orch, df, bid)
         else:
             rec = orch.apply_batch(df, bid)

@@ -44,6 +44,7 @@ def start_cdc_stream(
     consumers: list | None = None,
     transform=None,
     quarantine_dir: str | None = None,
+    audit_checks: list | None = None,
 ) -> StreamingQuery:
     """Drive a change-event stream into the lake table.
 
@@ -72,8 +73,22 @@ def start_cdc_stream(
     ``parse_debezium``); rejected rows land under ``quarantine_dir`` in
     a per-epoch subdirectory — overwritten on re-delivery, so quarantine
     output is exactly-once alongside the apply.
+
+    ``audit_checks``: optional write-audit-publish gate (``lake/wap.py``;
+    mode='cow' only — MoR deltas are raw appends with nothing new to
+    audit until the read-time fold). Each micro-batch stages on a branch
+    ref, runs the checks, and publishes on pass; a FAILING micro-batch
+    aborts the branch (readers never see it), writes the raw batch and
+    audit report under ``quarantine_dir``, and the stream continues —
+    a poisoned epoch costs its own events, not the pipeline. Restart
+    idempotence is unchanged: a re-delivered published epoch re-stages
+    as a no-op (batch id committed on main) and re-publishes nothing;
+    a re-delivered aborted epoch re-fails and overwrites its quarantine.
     """
     from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
+
+    if audit_checks and mode == "mor":
+        raise ValueError("audit_checks requires mode='cow' (see docstring)")
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         bid = base_batch_id + int(epoch_id)
@@ -87,6 +102,31 @@ def start_cdc_stream(
             apply_batch_mor(orchestrator, batch_df, bid)
             if compact_every and (int(epoch_id) + 1) % compact_every == 0:
                 compact_deltas(orchestrator)
+        elif audit_checks:
+            from tpc_di_spark.lake.wap import AuditFailed, WapBranch
+
+            wap = WapBranch.begin(orchestrator.table, f"epoch-{int(epoch_id):06d}")
+            CdcOrchestrator(
+                wap.staged,
+                buckets_per_group=orchestrator.buckets_per_group,
+                count_input=orchestrator.count_input,
+            ).apply_batch(batch_df, bid)
+            try:
+                wap.audit(audit_checks)
+                wap.publish()
+            except AuditFailed as e:
+                wap.abort()
+                if quarantine_dir is not None:
+                    import json as _json
+
+                    edir = f"{quarantine_dir}/audit-failed-epoch-{int(epoch_id):06d}"
+                    batch_df.write.mode("overwrite").parquet(edir)
+                    # Unconditional PUT: a restarted stream re-failing the
+                    # same epoch overwrites its previous report.
+                    orchestrator.table.fs.write_text(
+                        f"{edir}/_audit.json", _json.dumps(e.results)
+                    )
+            orchestrator.table.refresh()
         else:
             orchestrator.apply_batch(batch_df, bid)
         for c in consumers or ():
