@@ -2376,8 +2376,15 @@ def q54_state_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq_cols=["ts", "event_id"],
         ).select("user_id", *cmp_cols)
 
+    # user_id is non-null → plain-equality keys let the full-outer join
+    # reuse each replica's LWW-aggregation partitioning (2 exchanges
+    # total instead of 4; PLANS.md q54).
     return state_diff(
-        replica(7), replica(11), key_cols=["user_id"], compare_cols=cmp_cols
+        replica(7),
+        replica(11),
+        key_cols=["user_id"],
+        compare_cols=cmp_cols,
+        null_safe_keys=False,
     )
 
 

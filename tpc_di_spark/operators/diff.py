@@ -38,6 +38,7 @@ def state_diff(
     key_cols: Sequence[str],
     compare_cols: Sequence[str] | None = None,
     include_unchanged: bool = False,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Reconcile two keyed states: ``left`` is the baseline ("expected"),
     ``right`` the candidate ("actual").
@@ -51,10 +52,16 @@ def state_diff(
     differs under null-safe equality), ``unchanged`` (only when
     ``include_unchanged=True``).
 
-    Keys join NULL-SAFELY (a NULL key is a value, mirroring GROUP BY
-    semantics — same rule as the incremental-view state merge). Each
-    side must already be a *state* (unique per key): feed LWW-deduped
-    or ``is_current``-filtered inputs, not raw change streams.
+    Keys join NULL-SAFELY by default (a NULL key is a value, mirroring
+    GROUP BY semantics — same rule as the incremental-view state merge).
+    Null-safe equality costs a plan re-Exchange on
+    ``(coalesce(k), isnull(k))`` above each side's upstream partitioning;
+    when the key is known non-null (every LakeTable business key),
+    ``null_safe_keys=False`` joins on plain equality so Catalyst reuses
+    the sides' existing hash partitioning — two fewer shuffles on
+    pre-aggregated or bucketed inputs. Each side must already be a
+    *state* (unique per key): feed LWW-deduped or
+    ``is_current``-filtered inputs, not raw change streams.
     """
     key_cols = list(key_cols)
     if compare_cols is None:
@@ -74,7 +81,12 @@ def state_diff(
     r = _side(right, "r").alias("r")
     cond = F.lit(True)
     for k in key_cols:
-        cond = cond & F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        term = (
+            F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+            if null_safe_keys
+            else (F.col(f"l.{k}") == F.col(f"r.{k}"))
+        )
+        cond = cond & term
     j = l.join(r, cond, "full_outer")
 
     change = (
@@ -115,9 +127,12 @@ def reconcile_current_state(table, expected: DataFrame) -> DataFrame:
         for c in expected.columns
         if c in cur.columns and c not in table.key_cols
     ]
+    # Business keys are non-null by construction — plain-equality join
+    # keeps the sides' partitioning reusable (see state_diff docstring).
     return state_diff(
         expected.select(*table.key_cols, *data_cols),
         cur.select(*table.key_cols, *data_cols),
         key_cols=table.key_cols,
         compare_cols=data_cols,
+        null_safe_keys=False,
     )
