@@ -72,10 +72,8 @@ def rows_created_in(
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
-    return (
-        table.spark.read.schema(snap.schema)
-        .parquet(*paths)
-        .filter(F.col("batch_id") == batch_id)
+    return table.read_files(paths, snapshot=snap).filter(
+        F.col("batch_id") == batch_id
     )
 
 
@@ -146,7 +144,7 @@ def rows_closed_in(
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
-    out = table.spark.read.schema(snap.schema).parquet(*paths)
+    out = table.read_files(paths, snapshot=snap)
     if not include_tombstones:
         out = out.filter(F.col("batch_id") >= 0)
     return out
@@ -173,10 +171,8 @@ def rows_created_since(
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
-    out = (
-        table.spark.read.schema(snap.schema)
-        .parquet(*paths)
-        .filter(F.col("batch_id") > after_batch_id)
+    out = table.read_files(paths, snapshot=snap).filter(
+        F.col("batch_id") > after_batch_id
     )
     if upto_batch_id is not None:
         out = out.filter(F.col("batch_id") <= upto_batch_id)
@@ -210,7 +206,7 @@ def rows_closed_since(
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]
-    out = table.spark.read.schema(snap.schema).parquet(*paths)
+    out = table.read_files(paths, snapshot=snap)
     if not include_tombstones:
         out = out.filter(F.col("batch_id") >= 0)
     return out
@@ -270,8 +266,8 @@ def changed_keys_since(
     def keys_of(paths: list[str], flt=None) -> DataFrame | None:
         if not paths:
             return None
-        df = table.spark.read.schema(snap.schema).parquet(
-            *[os.path.join(table.path, rel) for rel in paths]
+        df = table.read_files(
+            [os.path.join(table.path, rel) for rel in paths], snapshot=snap
         )
         if flt is not None:
             df = df.filter(flt)

@@ -65,7 +65,7 @@ from typing import Iterable, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from tpc_di_spark.lake.fs import CasConflict, LocalFS, TableFS
 
@@ -368,6 +368,67 @@ class LakeTable:
         writes are valid."""
         return self.snapshot.properties.get("bucket.hash") == "murmur3"
 
+    # ---- logical/physical column mapping (rename & drop evolution) ----
+    #
+    # Files always store a column under its BIRTH NAME (the "physical"
+    # name — our dependency-free stand-in for Iceberg's field ids, which
+    # parquet-by-name reads cannot carry). A rename is then pure
+    # metadata: the snapshot schema holds the new LOGICAL name and
+    # ``properties["column.map"]`` records {logical: physical} for the
+    # non-identity entries; reads scan the physical schema and alias to
+    # logical, writes rename logical→physical just before the parquet
+    # write. A drop retires the physical name
+    # (``properties["column.retired"]``) so a later re-ADD of the same
+    # logical name gets a FRESH physical identity — old files' bytes for
+    # the dead column can never resurrect into the new one.
+    # The identity case (no rename/drop ever) keeps the exact original
+    # code path: no extra Project, no per-row cost.
+
+    _COLMAP_PROP = "column.map"
+    _RETIRED_PROP = "column.retired"
+
+    def _colmap(self, snap: Snapshot | None = None) -> dict[str, str]:
+        return dict((snap or self.snapshot).properties.get(self._COLMAP_PROP, {}))
+
+    def physical_schema(self, snap: Snapshot | None = None) -> StructType:
+        snap = snap or self.snapshot
+        cmap = self._colmap(snap)
+        if not cmap:
+            return snap.schema
+        return StructType(
+            [
+                StructField(cmap.get(f.name, f.name), f.dataType, f.nullable)
+                for f in snap.schema.fields
+            ]
+        )
+
+    def _to_physical(self, df: DataFrame, snap: Snapshot | None = None) -> DataFrame:
+        cmap = self._colmap(snap)
+        for logical, physical in cmap.items():
+            if logical in df.columns:
+                df = df.withColumnRenamed(logical, physical)
+        return df
+
+    def read_files(
+        self, paths: Sequence[str], snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Scan data files through a snapshot's schema, applying the
+        physical→logical column mapping — the ONE read primitive every
+        path (read(), changelog, MoR base) shares so rename evolution
+        cannot be bypassed."""
+        snap = snapshot or self.snapshot
+        if not paths:
+            return self.spark.createDataFrame([], snap.schema)
+        cmap = self._colmap(snap)
+        if not cmap:
+            return self.spark.read.schema(snap.schema).parquet(*paths)
+        phys = self.physical_schema(snap)
+        inv = {v: k for k, v in cmap.items()}
+        df = self.spark.read.schema(phys).parquet(*paths)
+        return df.select(
+            *[F.col(f.name).alias(inv.get(f.name, f.name)) for f in phys.fields]
+        )
+
     def read(
         self,
         buckets: Iterable[int] | None = None,
@@ -388,7 +449,6 @@ class LakeTable:
         set, and scanning it per batch was the dominant wasted I/O.
         """
         snap = snapshot or self.snapshot
-        schema = snap.schema
         maps: list[dict[str, list[str]]] = []
         if family in ("all", "current"):
             maps.append(snap.files)
@@ -401,10 +461,9 @@ class LakeTable:
             for fmap in maps
             for _b, rel in self._bucket_file_pairs(fmap, buckets)
         ]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        # Explicit schema => old files null-fill evolved columns.
-        return self.spark.read.schema(schema).parquet(*paths)
+        # Explicit schema => old files null-fill evolved columns;
+        # read_files applies the rename-evolution column mapping.
+        return self.read_files(paths, snapshot=snap)
 
     def read_bucketed(
         self,
@@ -466,9 +525,12 @@ class LakeTable:
         prefix = f"lake_bt_{hashlib.md5(self.path.encode()).hexdigest()[:8]}_"
         name = f"{prefix}s{snap.snapshot_id}_{family}_{token}"
         if not self.spark.catalog.tableExists(name):
+            # Physical schema: the files' column names. Bucket columns are
+            # key columns, which rename evolution refuses to touch, so the
+            # CLUSTERED BY list needs no mapping.
             cols = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"
-                for f in snap.schema.fields
+                for f in self.physical_schema(snap).fields
             )
             bcols = ", ".join(f"`{c}`" for c in snap.bucket_cols)
             self.spark.sql(
@@ -477,7 +539,20 @@ class LakeTable:
                 f"LOCATION '{view}'"
             )
         self._drop_stale_bucket_views(prefix, keep_name=name, keep_view=view)
-        return self.spark.table(name), True
+        bt = self.spark.table(name)
+        cmap = self._colmap(snap)
+        if cmap:
+            # Alias back to logical names. The bucket columns pass through
+            # un-aliased, so the scan's HashPartitioning survives the
+            # Project and the merge join stays Exchange-free.
+            inv = {v: k for k, v in cmap.items()}
+            bt = bt.select(
+                *[
+                    F.col(f.name).alias(inv.get(f.name, f.name))
+                    for f in self.physical_schema(snap).fields
+                ]
+            )
+        return bt, True
 
     def _drop_stale_bucket_views(
         self, prefix: str, keep_name: str, keep_view: str
@@ -626,6 +701,7 @@ class LakeTable:
         out_dir = os.path.join(self.path, _DATA, commit_tag)
         if self.fs.exists(out_dir):
             self.fs.rmtree(out_dir)  # partial output from a killed attempt
+        df_with_bucket = self._to_physical(df_with_bucket)
         (
             self._key_sorted(
                 self._bucket_clustered(df_with_bucket, assume_bucket_partitioned)
@@ -677,6 +753,7 @@ class LakeTable:
         out_dir = os.path.join(self.path, _DATA, commit_tag)
         if self.fs.exists(out_dir):
             self.fs.rmtree(out_dir)
+        df_with_bucket = self._to_physical(df_with_bucket)
         ic = F.coalesce(F.col("is_current"), F.lit(True)).cast("string")
         (
             # _ic leads the sort so each family's rows are contiguous
@@ -916,12 +993,126 @@ class LakeTable:
                         "bucketing is type-sensitive (use rebucket for layout "
                         "changes)"
                     )
+        # Collision-safe re-ADD: an added column whose name was ever used
+        # as a physical name (a retired dropped column, or another
+        # column's birth name) gets a FRESH physical identity so the old
+        # files' bytes cannot resurrect into it (Iceberg's fresh-field-id
+        # rule). Old files simply lack the fresh physical column →
+        # null-fill, exactly like any added column.
+        cmap = self._colmap()
+        retired = list(self.snapshot.properties.get(self._RETIRED_PROP, []))
+        in_use_physical = {cmap.get(f.name, f.name) for f in old.fields} | set(
+            retired
+        )
+        added = [f.name for f in new_schema.fields if f.name not in {g.name for g in old.fields}]
+        for name in added:
+            if name in in_use_physical:
+                n = 2
+                while f"{name}__r{n}" in in_use_physical:
+                    n += 1
+                cmap[name] = f"{name}__r{n}"
+                in_use_physical.add(cmap[name])
+        new_properties = None
+        if cmap != self._colmap():
+            new_properties = {
+                **self.snapshot.properties,
+                self._COLMAP_PROP: cmap,
+            }
         return self.commit(
             new_files_by_bucket={},
             mode="append",
             batch_id=batch_id,
             new_schema=new_schema,
+            new_properties=new_properties,
             summary={"operation": "evolve-schema", "columns": [f.name for f in new_schema.fields]},
+        )
+
+    _PROTECTED_RENAME = ("is_current", "effective_ts", "end_ts", "batch_id")
+
+    def _check_renameable(self, name: str, op: str) -> None:
+        if name not in {f.name for f in self.schema.fields}:
+            raise ValueError(f"no such column {name!r}")
+        if name in set(self.snapshot.bucket_cols) | set(self.key_cols):
+            raise ValueError(
+                f"may not {op} bucket/key column {name!r} — the business "
+                "key is the table's identity (merge joins, checkpoint "
+                "manifests and consumers reference it)"
+            )
+        if name in self._PROTECTED_RENAME:
+            raise ValueError(f"may not {op} lineage column {name!r}")
+        if self.snapshot.properties.get("delta_batches"):
+            raise ValueError(
+                f"may not {op} a column while merge-on-read delta batches "
+                "are pending: delta files carry the current logical names "
+                "and would misread after the change — compact first"
+            )
+
+    def rename_column(
+        self, old: str, new: str, batch_id: int | None = None
+    ) -> Snapshot:
+        """Metadata-only transactional column RENAME (Iceberg
+        ``ALTER TABLE ... RENAME COLUMN``): no file is touched — the
+        files keep the column's birth (physical) name and the snapshot
+        records logical→physical in ``column.map`` (see the mapping
+        block above read()). Refuses key/bucket/lineage columns and
+        tables with pending MoR deltas. Time travel is name-faithful:
+        pre-rename snapshots read under the old name.
+
+        Note for changelog consumers (IncrementalView and friends):
+        their specs reference logical names captured at view creation —
+        renaming a column a live view aggregates requires recreating
+        the view (its checkpointed state is keyed on its own schema).
+        """
+        self._check_renameable(old, "rename")
+        names = {f.name for f in self.schema.fields}
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new == LakeTable.BUCKET_COL or new == "_ic":
+            raise ValueError(f"{new!r} is a reserved internal name")
+        cmap = self._colmap()
+        physical = cmap.pop(old, old)
+        if physical != new:  # renaming BACK to the birth name clears the entry
+            cmap[new] = physical
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in self.schema.fields
+            ]
+        )
+        return self.commit(
+            new_files_by_bucket={},
+            mode="append",
+            batch_id=batch_id,
+            new_schema=new_schema,
+            new_properties={**self.snapshot.properties, self._COLMAP_PROP: cmap},
+            summary={"operation": "rename-column", "from": old, "to": new},
+        )
+
+    def drop_column(self, name: str, batch_id: int | None = None) -> Snapshot:
+        """Metadata-only transactional column DROP: the physical column
+        stays in old files (unread) and its name is RETIRED so a future
+        re-add gets a fresh physical identity (no data resurrection).
+        Same refusals as rename."""
+        self._check_renameable(name, "drop")
+        cmap = self._colmap()
+        physical = cmap.pop(name, name)
+        retired = list(self.snapshot.properties.get(self._RETIRED_PROP, []))
+        if physical not in retired:
+            retired.append(physical)
+        new_schema = StructType(
+            [f for f in self.schema.fields if f.name != name]
+        )
+        return self.commit(
+            new_files_by_bucket={},
+            mode="append",
+            batch_id=batch_id,
+            new_schema=new_schema,
+            new_properties={
+                **self.snapshot.properties,
+                self._COLMAP_PROP: cmap,
+                self._RETIRED_PROP: retired,
+            },
+            summary={"operation": "drop-column", "column": name},
         )
 
     def _flip_version(self, snap: Snapshot, expected_parent: int) -> None:
