@@ -372,3 +372,101 @@ def test_multi_table_streaming_tail_atomic_publish(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert Catalog.load(spark, cat.path).state.version == v2
+
+
+def test_apply_batch_atomic_wap_all_tables_audited(spark, tmp_path):
+    """Cross-table WAP: a failing audit on ONE table keeps the batch
+    invisible EVERYWHERE (direct-table readers included — stronger than
+    plain apply_batch_atomic); a clean retry publishes tables + catalog
+    with the audits recorded."""
+    from tpc_di_spark.lake.catalog import apply_batch_atomic_wap
+    from tpc_di_spark.lake.wap import (
+        AuditFailed,
+        list_branches,
+        row_count_delta,
+        unique_business_key,
+    )
+
+    cat, orchs = _fresh_catalog(spark, tmp_path)
+    ev = _events(spark, 1)
+    work = {n: (o, ev) for n, o in orchs.items()}
+    apply_batch_atomic_wap(
+        cat, work, batch_id=1,
+        audit_checks={n: [unique_business_key()] for n in orchs},
+    )
+    reader = Catalog.load(spark, cat.path)
+    assert reader.state.summary["operation"] == "cdc-multi-table-wap"
+    for n, o in orchs.items():
+        assert o.table.refresh().is_batch_committed(1)
+        assert list_branches(o.table) == {}
+
+    # Batch 2 with an impossible growth envelope on dim_b: everything
+    # aborts, both tables AND the catalog stay at batch 1.
+    snaps_before = {n: o.table.snapshot.snapshot_id for n, o in orchs.items()}
+    ver_before = cat.refresh().state.version
+    ev2 = _events(spark, 2)
+    with pytest.raises(AuditFailed) as ei:
+        apply_batch_atomic_wap(
+            cat, {n: (o, ev2) for n, o in orchs.items()}, batch_id=2,
+            audit_checks={"dim_b": [row_count_delta(min_delta=10_000)]},
+        )
+    assert any(r.get("table") == "dim_b" and not r["ok"] for r in ei.value.results)
+    for n, o in orchs.items():
+        o.table.refresh()
+        assert o.table.snapshot.snapshot_id == snaps_before[n]
+        assert not o.table.is_batch_committed(2)
+        assert list_branches(o.table) == {}
+    assert cat.refresh().state.version == ver_before
+
+    # Retry with a sane envelope: publishes cleanly and records audits.
+    recs = apply_batch_atomic_wap(
+        cat, {n: (o, ev2) for n, o in orchs.items()}, batch_id=2,
+        audit_checks={"dim_b": [row_count_delta(min_delta=0)]},
+    )
+    assert all(o.table.refresh().is_batch_committed(2) for o in orchs.values())
+    assert cat.refresh().state.version == ver_before + 1
+    assert all(r["ok"] for r in recs["dim_b"]["wap_audit"])
+
+
+def test_apply_batch_atomic_wap_resumes_after_partial_publish(spark, tmp_path):
+    """Crash between branch publishes: the published table re-enters as
+    'already-published' (no spurious audit failure), the other stages
+    fresh, and the catalog CAS ships the consistent pair."""
+    from tpc_di_spark.lake.catalog import apply_batch_atomic_wap
+    from tpc_di_spark.lake.wap import WapBranch, row_count_delta
+
+    cat, orchs = _fresh_catalog(spark, tmp_path)
+    ev = _events(spark, 1)
+    work = {n: (o, ev) for n, o in orchs.items()}
+    apply_batch_atomic_wap(cat, work, batch_id=1)
+    ver1 = cat.refresh().state.version
+
+    # Simulate the crash: dim_a's branch staged, audited and PUBLISHED;
+    # the process died before dim_b staged anything.
+    ev2 = _events(spark, 2)
+    a = orchs["dim_a"]
+    wap_a = WapBranch.begin(a.table, "xt-batch-000002")
+    a.for_table(wap_a.staged).apply_batch(ev2, 2)
+    wap_a.publish()
+    assert a.table.refresh().is_batch_committed(2)
+    live_a = {
+        (r.conv_id, r.turn_idx): r.text for r in current_state(a.table).collect()
+    }
+
+    # The retry: min_delta would FAIL an empty re-staged branch if the
+    # already-published guard were missing.
+    recs = apply_batch_atomic_wap(
+        cat, {n: (o, ev2) for n, o in orchs.items()}, batch_id=2,
+        audit_checks={n: [row_count_delta(min_delta=1)] for n in orchs},
+    )
+    assert recs["dim_a"]["skipped"] == "already-committed"
+    assert recs["dim_a"]["wap_audit"][0]["check"] == "already-published"
+    b = orchs["dim_b"]
+    assert b.table.refresh().is_batch_committed(2)
+    # dim_a's state untouched by the retry; both visible via the catalog.
+    assert {
+        (r.conv_id, r.turn_idx): r.text for r in current_state(a.table.refresh()).collect()
+    } == live_a
+    reader = Catalog.load(spark, cat.path)
+    assert reader.state.version == ver1 + 1
+    assert reader.state.summary["batch_id"] == 2

@@ -81,6 +81,18 @@ class CdcOrchestrator:
         # (callers schedule compaction themselves, like the bench).
         self.auto_compact_files_per_bucket = auto_compact_files_per_bucket
 
+    def for_table(self, table: LakeTable) -> "CdcOrchestrator":
+        """Same configuration over a different table handle — the WAP
+        staging pattern (drive a branch handle through an orchestrator
+        configured like the main one)."""
+        return CdcOrchestrator(
+            table,
+            buckets_per_group=self.buckets_per_group,
+            count_input=self.count_input,
+            messages_log=self.messages_log,
+            auto_compact_files_per_bucket=self.auto_compact_files_per_bucket,
+        )
+
     # ------------------------------------------------------------ utilities
     def _staging_dir(self, batch_id: int) -> str:
         return os.path.join(self.table.path, _STAGING, f"batch-{batch_id:06d}")

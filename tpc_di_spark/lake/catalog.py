@@ -337,3 +337,81 @@ def apply_batch_atomic(
         {"operation": "cdc-multi-table", "batch_id": batch_id, **(summary or {})}
     )
     return records
+
+
+def apply_batch_atomic_wap(
+    catalog: Catalog,
+    work: dict[str, tuple],
+    batch_id: int,
+    audit_checks: dict[str, list] | None = None,
+    summary: dict | None = None,
+) -> dict[str, dict]:
+    """Cross-table WRITE-AUDIT-PUBLISH: every table's slice stages on a
+    WAP branch (`lake/wap.py`), every staged state is audited, and only
+    if ALL pass does anything become visible — each branch fast-forwards
+    its table's VERSION and one catalog CAS publishes the set. On any
+    audit failure every branch aborts: neither direct-table nor
+    catalog readers ever observe the batch (the plain
+    :func:`apply_batch_atomic` hides partial applies from *catalog*
+    readers only; this variant extends the guarantee to the tables
+    themselves, at the cost of the per-table branch machinery).
+
+    ``audit_checks`` maps table name -> list of WAP checks (missing name
+    = no checks). Raises :class:`~tpc_di_spark.lake.wap.AuditFailed`
+    with each failing result tagged by table.
+
+    Crash-retry matrix (resume by re-calling with the same batch_id):
+    mid-staging — branches resume at their staged heads, committed
+    staged batches skip; after some branch publishes — published tables
+    re-begin an EMPTY branch whose batch is already committed on main
+    and are treated as audited (their audit happened before their
+    publish), the rest re-audit, then the catalog CAS publishes the full
+    consistent set; after all publishes — pure catalog republish.
+    """
+    from tpc_di_spark.lake.wap import AuditFailed, WapBranch
+
+    branches: dict[str, WapBranch] = {}
+    records: dict[str, dict] = {}
+    for name, (orch, events) in sorted(work.items()):
+        wap = WapBranch.begin(orch.table, f"xt-batch-{batch_id:06d}")
+        records[name] = orch.for_table(wap.staged).apply_batch(events, batch_id)
+        branches[name] = wap
+
+    all_results: list[dict] = []
+    failed = False
+    for name, wap in sorted(branches.items()):
+        ref = wap.staged._read_ref()
+        if ref["head_id"] == ref["fork_id"] and wap.base.is_batch_committed(
+            batch_id
+        ):
+            # Crash-retry: this table already published this batch; its
+            # audit passed before that publish. Nothing staged to audit.
+            all_results.append(
+                {"check": "already-published", "ok": True, "table": name}
+            )
+            continue
+        for r in wap.audit(audit_checks.get(name, []) if audit_checks else [],
+                           raise_on_fail=False):
+            all_results.append({**r, "table": name})
+            failed = failed or not r["ok"]
+
+    if failed:
+        for wap in branches.values():
+            wap.abort()
+        raise AuditFailed(all_results)
+
+    txn = catalog.transaction()
+    for name, wap in sorted(branches.items()):
+        wap.publish()
+        txn.stage(name, wap.base)
+        records[name]["wap_audit"] = [
+            r for r in all_results if r["table"] == name
+        ]
+    txn.commit(
+        {
+            "operation": "cdc-multi-table-wap",
+            "batch_id": batch_id,
+            **(summary or {}),
+        }
+    )
+    return records
