@@ -131,3 +131,56 @@ def test_mor_update_retention_and_delete_chain(spark, tmp_path):
     versions = table.read().filter("conv_id='c1'").collect()
     # v1 closed, v2 closed, v2-retained closed, (delete), reborn closed, final current
     assert sorted(v.is_current for v in versions) == [False] * 4 + [True]
+
+
+def test_lookup_mor_folds_pending_deltas(spark, tmp_path):
+    """Point lookup on a MoR table sees pending delta batches (the base
+    lookup is stale by design) and scans only the probed buckets' base +
+    delta files."""
+    import datetime as dt
+
+    from tpc_di_spark.cdc.generator import historical_batch
+    from tpc_di_spark.cdc.mor import apply_batch_mor, lookup_mor
+
+    table = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    orch = CdcOrchestrator(table)
+    orch.apply_batch(historical_batch(spark, 50, 4), 1)
+
+    t0 = dt.datetime(2024, 6, 1)
+    ev = spark.createDataFrame(
+        [
+            ("U", 1, "conv-000003", 2, "user", "delta-edit", t0),
+            ("D", 2, "conv-000007", 1, None, None, t0),
+            ("I", 3, "conv-000099", 0, "user", "delta-new", t0),
+        ],
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp",
+    )
+    apply_batch_mor(orch, ev, 2)
+
+    # Update visible, delete folded away, insert found — all via lookup.
+    assert [r.text for r in lookup_mor(table, {"conv_id": "conv-000003", "turn_idx": 2}).collect()] == ["delta-edit"]
+    assert lookup_mor(table, {"conv_id": "conv-000007", "turn_idx": 1}).count() == 0
+    assert [r.text for r in lookup_mor(table, {"conv_id": "conv-000099", "turn_idx": 0}).collect()] == ["delta-new"]
+    # An untouched key still resolves through the base files.
+    assert lookup_mor(table, {"conv_id": "conv-000010", "turn_idx": 0}).count() == 1
+
+    # The BASE lookup is documented-stale under pending deltas.
+    assert [r.text for r in table.lookup({"conv_id": "conv-000003", "turn_idx": 2}).collect()] != ["delta-edit"]
+
+    # Pruning: the fold's plan reads at most the probed bucket's files.
+    df = lookup_mor(table, {"conv_id": "conv-000003", "turn_idx": 2})
+    total = sum(len(v) for v in table.snapshot.files.values())
+    assert 0 < len(df.inputFiles()) < total
+
+    # Batch lookups across buckets agree with the full MoR state.
+    from tpc_di_spark.cdc.mor import current_state_mor
+
+    keys = [{"conv_id": f"conv-{i:06d}", "turn_idx": 0} for i in range(12)]
+    got = {(r.conv_id, r.turn_idx): r.text for r in lookup_mor(table, keys).collect()}
+    full = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in current_state_mor(table).filter("turn_idx = 0").collect()
+        if r.conv_id in {k["conv_id"] for k in keys}
+    }
+    assert got == full

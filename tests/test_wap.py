@@ -165,3 +165,40 @@ def test_wap_on_object_store_fs(spark, tmp_path):
     wap.publish()
     assert table.is_batch_committed(2)
     assert len(_live(table)) > 0
+
+
+def test_foreign_key_audit_check(spark, tmp_path):
+    """FK integrity gates visibility: a batch whose conv_id isn't
+    registered in the parent dimension fails the audit and aborts."""
+    from tpc_di_spark.cdc.generator import incremental_batch
+    from tpc_di_spark.lake.wap import foreign_key
+
+    table = _bootstrap(spark, str(tmp_path / "t"), convs=20, turns=3)
+    parent = spark.createDataFrame(
+        [(f"conv-{i:06d}",) for i in range(20)], "conv_key string"
+    )
+
+    wap = WapBranch.begin(table, "fk-ok")
+    CdcOrchestrator(wap.staged).apply_batch(
+        incremental_batch(spark, 2, n_events=10, n_convs=20, turns_per_conv=3),
+        2,
+    )
+    res = wap.audit([foreign_key(["conv_id"], parent, ["conv_key"])])
+    assert res[0]["ok"] and res[0]["orphan_rows"] == 0
+    wap.publish()
+
+    # A batch referencing unregistered conversations is rejected.
+    import datetime as dt
+
+    bad = spark.createDataFrame(
+        [("I", 1, "conv-999999", 0, "user", "orphan", dt.datetime(2024, 6, 1))],
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp",
+    )
+    wap2 = WapBranch.begin(table, "fk-bad")
+    CdcOrchestrator(wap2.staged).apply_batch(bad, 3)
+    with pytest.raises(AuditFailed) as ei:
+        wap2.audit([foreign_key(["conv_id"], parent, ["conv_key"])])
+    assert ei.value.results[0]["orphan_rows"] == 1
+    wap2.abort()
+    assert not table.refresh().is_batch_committed(3)

@@ -123,15 +123,18 @@ def read_deltas(table: LakeTable, buckets=None) -> DataFrame:
     return out
 
 
-def current_state_mor(table: LakeTable) -> DataFrame:
+def current_state_mor(table: LakeTable, buckets=None) -> DataFrame:
     """Live view under pending deltas: fold (base current rows ∪ deltas)
     per key through the CDC state machine, ordered by
-    (_delta_batch, ts, cdc_dsn). Entirely Column expressions."""
+    (_delta_batch, ts, cdc_dsn). Entirely Column expressions.
+    ``buckets`` prunes BOTH the base scan and the delta files — the
+    point-lookup path (:func:`lookup_mor`) folds only the probed
+    buckets' rows."""
     key = list(table.key_cols)
     payload = [c for c in data_cols(table) if c not in key]
 
     base = (
-        table.read(family="current")
+        table.read(family="current", buckets=buckets)
         .filter(F.col("is_current"))
         .select(
             F.lit("I").alias("cdc_flag"),
@@ -143,7 +146,7 @@ def current_state_mor(table: LakeTable) -> DataFrame:
             F.lit(-1).cast("int").alias("_delta_batch"),
         )
     )
-    deltas = read_deltas(table).select(
+    deltas = read_deltas(table, buckets=buckets).select(
         "cdc_flag", "cdc_dsn", *key, *payload, "_delta_batch"
     )
     all_events = base.unionByName(deltas)
@@ -188,6 +191,21 @@ def current_state_mor(table: LakeTable) -> DataFrame:
     return folded.filter(F.col("st.exists")).select(
         *key, *[F.col(f"st.{c}").alias(c) for c in payload]
     )
+
+
+def lookup_mor(table: LakeTable, keys) -> DataFrame:
+    """Bucket-pruned POINT LOOKUP on a merge-on-read table: the live
+    value of each business key WITH pending deltas folded in — the
+    serving read for the high-rate tail-ingest mode, where
+    ``LakeTable.lookup`` (base only) would be stale. Scans only the
+    probed buckets' base + delta files, folds just those rows; same key
+    validation/pruning plan as the base lookup (``_keys_plan``)."""
+    if isinstance(keys, dict):
+        keys = [keys]
+    if not keys:
+        return current_state_mor(table, buckets=[])
+    buckets, filt = table._keys_plan(keys, table.snapshot)
+    return filt(current_state_mor(table, buckets=buckets))
 
 
 def compact_deltas(orch: "CdcOrchestrator") -> list[dict]:

@@ -602,8 +602,8 @@ class LakeTable:
         Serving-path notes: ``family="current"`` answers "live state of
         this key"; ``family="all"`` returns its full SCD2 lineage. The
         lookup reads the BASE table — on a MoR table with pending delta
-        batches, fold them via :func:`tpc_di_spark.cdc.mor.read_merged`
-        or compact first. Above ~``max_predicate_keys`` keys the literal
+        batches use :func:`tpc_di_spark.cdc.mor.lookup_mor`, which folds
+        the probed buckets' deltas. Above ~``max_predicate_keys`` keys the literal
         predicate would bloat the plan, so the filter downgrades to a
         broadcast semi-join (bucket pruning still applies); for
         genuinely large key sets use the merge path instead.
@@ -613,6 +613,17 @@ class LakeTable:
         if not keys:
             return self.spark.createDataFrame([], (snapshot or self.snapshot).schema)
         snap = snapshot or self.snapshot
+        buckets, filt = self._keys_plan(keys, snap)
+        return filt(self.read(buckets=buckets, family=family, snapshot=snap))
+
+    def _keys_plan(self, keys: Sequence[dict], snap: Snapshot):
+        """Shared lookup planning (base-table and MoR lookups): validate
+        the key dicts, compute their bucket set with the table's own
+        bucket function (one |keys|-row job — driver/table hash skew is
+        impossible), and build the row filter: a literal OR-of-AND
+        predicate (parquet-pushable → row-group pruning) for small key
+        sets, a broadcast semi-join beyond ``max_predicate_keys``.
+        Returns ``(buckets, filter_fn)``."""
         cols = [f.name for f in snap.schema.fields if f.name in keys[0]]
         for k in keys:
             if set(k) != set(cols):
@@ -629,15 +640,12 @@ class LakeTable:
         key_df = self.spark.createDataFrame(
             [tuple(k[c] for c in cols) for k in keys], key_schema
         )
-        # One tiny job (|keys| rows) — the same bucket function the data
-        # was placed with, so driver/table hash skew is impossible.
         buckets = sorted(
             r[0]
             for r in key_df.select(
                 self.bucket_expr().alias("b")
             ).distinct().collect()
         )
-        df = self.read(buckets=buckets, family=family, snapshot=snap)
         max_predicate_keys = 64
         if len(keys) <= max_predicate_keys:
             pred = None
@@ -651,10 +659,12 @@ class LakeTable:
                     )
                     one = term if one is None else (one & term)
                 pred = one if pred is None else (pred | one)
-            return df.filter(pred)
+            return buckets, (lambda df, p=pred: df.filter(p))
         from pyspark.sql.functions import broadcast
 
-        return df.join(broadcast(key_df), on=cols, how="left_semi")
+        return buckets, (
+            lambda df: df.join(broadcast(key_df), on=cols, how="left_semi")
+        )
 
     # ---------------------------------------------------------------- writes
     def _bucket_clustered(

@@ -361,6 +361,38 @@ def not_null(cols: Sequence[str]) -> Callable[[WapBranch], dict]:
     return check
 
 
+def foreign_key(
+    cols: Sequence[str],
+    parent: DataFrame,
+    parent_cols: Sequence[str] | None = None,
+) -> Callable[[WapBranch], dict]:
+    """Referential integrity: every live, fully-non-NULL ``cols`` tuple
+    in the staged table must exist in ``parent[parent_cols]`` (SQL FK
+    semantics — NULL child keys are exempt). The reference's audit phase
+    runs FK row-count checks after load (report §5.1.1); here the same
+    check gates visibility. ``parent`` is captured at check-creation
+    time — pass a catalog-pinned or snapshot-pinned read for a
+    consistent cross-table audit."""
+    pcols = list(parent_cols or cols)
+
+    def check(wap: WapBranch) -> dict:
+        df = wap.staged.read(family="current")
+        if "is_current" in df.columns:
+            df = df.filter(F.col("is_current"))
+        child = df.select(*cols).na.drop(how="any", subset=list(cols))
+        keys = parent.select(
+            *[F.col(p).alias(c) for c, p in zip(cols, pcols)]
+        ).distinct()
+        orphans = child.join(keys, on=list(cols), how="left_anti").count()
+        return {
+            "check": f"foreign_key({','.join(cols)})",
+            "ok": orphans == 0,
+            "orphan_rows": orphans,
+        }
+
+    return check
+
+
 def row_count_delta(
     min_delta: int | None = None, max_delta: int | None = None
 ) -> Callable[[WapBranch], dict]:
