@@ -202,3 +202,33 @@ def test_foreign_key_audit_check(spark, tmp_path):
     assert ei.value.results[0]["orphan_rows"] == 1
     wap2.abort()
     assert not table.refresh().is_batch_committed(3)
+
+
+def test_schema_change_stages_on_branch(spark, tmp_path):
+    """Schema evolution is itself stageable: a rename + batch on a
+    branch publishes atomically with the data — or aborts leaving the
+    old schema untouched (audited schema migrations)."""
+    table = _bootstrap(spark, str(tmp_path / "t"), convs=10, turns=2)
+
+    # Abort path: the rename never reaches main.
+    wap = WapBranch.begin(table, "mig-try")
+    wap.staged.rename_column("text", "content")
+    assert "content" in wap.staged.schema.fieldNames()
+    wap.abort()
+    assert "text" in table.refresh().schema.fieldNames()
+    assert "content" not in table.schema.fieldNames()
+
+    # Publish path: rename + a batch written under the new name land in
+    # ONE visibility flip.
+    wap2 = WapBranch.begin(table, "mig")
+    wap2.staged.rename_column("text", "content")
+    ev = incremental_batch(
+        spark, 2, n_events=8, n_convs=10, turns_per_conv=2
+    ).withColumnRenamed("text", "content")
+    CdcOrchestrator(wap2.staged).apply_batch(ev, 2)
+    wap2.audit([unique_business_key(), not_null(["content"])])
+    wap2.publish()
+    table.refresh()
+    assert "content" in table.schema.fieldNames()
+    assert current_state(table).filter("content is null").count() == 0
+    assert table.is_batch_committed(2)
