@@ -206,3 +206,58 @@ def test_engine_final_state_invariant_to_parallelism(spark, tmp_path):
             .toPandas()
         )
     assert_pdf_equal(states[0], states[1], ["conv_id", "turn_idx"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=events_st, n_batches=split_st, staged=st.lists(st.booleans(), min_size=3, max_size=3))
+def test_any_event_sequence_matches_oracle_through_wap(
+    spark, tmp_path_factory, counter, events, n_batches, staged
+):
+    """WAP staging is semantics-neutral: for ANY event sequence, applying
+    each batch either directly or via stage→audit→publish yields the
+    same final state as the sequential oracle — the branch machinery can
+    never change what a batch means."""
+    from tpc_di_spark.lake.wap import WapBranch, list_branches, unique_business_key
+
+    rows = [
+        (flag, i, conv, turn, role, text, T0 + dt.timedelta(seconds=ts))
+        for i, (flag, conv, turn, role, text, ts) in enumerate(events)
+    ]
+    schema = (
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp"
+    )
+    size = max(1, len(rows) // n_batches)
+    chunks = [rows[i : i + size] for i in range(0, len(rows), size)]
+
+    counter["n"] += 1
+    path = str(tmp_path_factory.mktemp("propw") / f"t{counter['n']}")
+    table = bootstrap_table(spark, path, TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(table)
+    oracle = OracleState(payload_cols=["role", "text", "ts"])
+    for bid, chunk in enumerate(chunks, start=1):
+        df = spark.createDataFrame(chunk, schema)
+        if staged[(bid - 1) % len(staged)]:
+            wap = WapBranch.begin(table, f"p{bid}")
+            orch.for_table(wap.staged).apply_batch(df, bid)
+            wap.audit([unique_business_key()])
+            wap.publish()
+            table.refresh()
+        else:
+            orch.apply_batch(df, bid)
+        oracle.apply_batch(
+            pd.DataFrame(
+                chunk,
+                columns=["cdc_flag", "cdc_dsn", "conv_id", "turn_idx", "role", "text", "ts"],
+            ),
+            bid,
+        )
+
+    assert list_branches(table) == {}
+    got = current_state(table).toPandas()
+    want = oracle.current_df()
+    assert_pdf_equal(got, want, ["conv_id", "turn_idx"])
