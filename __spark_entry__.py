@@ -2419,6 +2419,96 @@ WHERE l.user_id IS NULL OR r.user_id IS NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# Q55 — changelog-driven downstream table sync (lake/derived.py): a child
+# LakeTable kept row-level equal to π(σ(parent live state)) by consuming
+# the parent's changelog — the "binlog out → downstream lake sink"
+# fan-out (Debezium-outbox / CDF-consumer analogue; the reference has
+# nothing downstream of its warehouse tables). Three CDC batches; the
+# sync refreshes after batch 2 (a 2-batch range) and after batch 3
+# (incremental), so the recorded state exercises range consumption,
+# delete propagation, and filter drop-out (an update can flip a turn's
+# role INTO 'tool', moving it out of the replica's predicate). The
+# oracle recomputes σ/π over the LWW final state from scratch.
+# ---------------------------------------------------------------------------
+
+def q55_derived_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.lake.derived import DerivedTableSync
+    from tpc_di_spark.schemas import LINEAGE_FIELDS, TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 3 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q55_")
+    parent = bootstrap_table(
+        spark, os.path.join(table_dir, "parent"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    child_schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("role", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+        + LINEAGE_FIELDS
+    )
+    child = bootstrap_table(
+        spark, os.path.join(table_dir, "child"), child_schema, num_buckets=16
+    )
+    orch = CdcOrchestrator(parent, buckets_per_group=16)
+    sync = DerivedTableSync(
+        parent,
+        child,
+        os.path.join(table_dir, "sync"),
+        filter_expr="role <> 'tool'",
+        select_exprs={"role": "role", "n_chars": "cast(length(text) as bigint)"},
+    )
+    batch = lambda b: ev.filter(F.col("_b") == b).drop("_b")  # noqa: E731
+    orch.apply_batch(batch(1), batch_id=1)
+    orch.apply_batch(batch(2), batch_id=2)
+    sync.refresh()  # consumes the (0, 2] range in one pass
+    orch.apply_batch(batch(3), batch_id=3)
+    sync.refresh()  # incremental tail
+    return current_state(child)
+
+
+Q55_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 3 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT conv_id, turn_idx, b, cdc_flag, role, text, ts FROM w WHERE rn = 1),
+seq AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY b DESC) AS rdesc
+        FROM winners)
+SELECT conv_id, turn_idx, role,
+       CAST(length(text) AS BIGINT) AS n_chars, ts
+FROM seq
+WHERE rdesc = 1 AND cdc_flag <> 'D' AND role <> 'tool'
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -2489,6 +2579,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_snapshot_handover": q52_snapshot_handover,
     "q53_catalog_atomic_join": q53_catalog_atomic_join,
     "q54_state_reconcile": q54_state_reconcile,
+    "q55_derived_table_sync": q55_derived_table_sync,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2550,6 +2641,7 @@ _ORACLES: dict[str, str] = {
     "q52_snapshot_handover": Q52_SQL,
     "q53_catalog_atomic_join": Q53_SQL,
     "q54_state_reconcile": Q54_SQL,
+    "q55_derived_table_sync": Q55_SQL,
 }
 
 

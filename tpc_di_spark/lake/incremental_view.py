@@ -74,6 +74,31 @@ _KINDS = (
 )
 
 
+def needs_per_batch_fallback(table: LakeTable, ck: dict | None) -> bool:
+    """Per-batch time-travel path trigger, three conditions: compaction
+    since checkpoint, bootstrap over an already-compacted table, or an
+    expired checkpoint snapshot (ADVICE r04). Shared by every changelog
+    consumer whose range reads need the closing tags intact
+    (:class:`IncrementalView`, ``lake/derived.DerivedTableSync``)."""
+    hist = table.history()
+    since = ck["snapshot_id"] if ck else -1
+    if ck is not None and not any(h["snapshot_id"] <= since for h in hist):
+        import warnings
+
+        warnings.warn(
+            f"consumer checkpoint snapshot {since} was expired from "
+            f"{table.path}; forcing the per-batch time-travel "
+            "refresh path (exact only within snapshot retention)",
+            stacklevel=3,
+        )
+        return True
+    return any(
+        h["snapshot_id"] > since
+        and h["summary"].get("operation") in ("compact", "rebucket")
+        for h in hist
+    )
+
+
 class IncrementalView:
     """An incrementally-maintained aggregate view over a transcript
     :class:`LakeTable`.
@@ -180,26 +205,7 @@ class IncrementalView:
     # -- refresh ------------------------------------------------------------
 
     def _needs_per_batch_fallback(self, ck: dict | None) -> bool:
-        """Per-batch time-travel path trigger, three conditions:
-        compaction since checkpoint, bootstrap over an already-compacted
-        table, or an expired checkpoint snapshot (ADVICE r04)."""
-        hist = self.table.history()
-        since = ck["snapshot_id"] if ck else -1
-        if ck is not None and not any(h["snapshot_id"] <= since for h in hist):
-            import warnings
-
-            warnings.warn(
-                f"view checkpoint snapshot {since} was expired from "
-                f"{self.table.path}; forcing the per-batch time-travel "
-                "refresh path (exact only within snapshot retention)",
-                stacklevel=3,
-            )
-            return True
-        return any(
-            h["snapshot_id"] > since
-            and h["summary"].get("operation") in ("compact", "rebucket")
-            for h in hist
-        )
+        return needs_per_batch_fallback(self.table, ck)
 
     def _null_safe_outer(
         self, left: DataFrame, right: DataFrame, right_cols: list[str]

@@ -59,7 +59,9 @@ def start_cdc_stream(
     per micro-batch (read-optimized, heavier per trigger).
 
     ``consumers``: optional list of changelog consumers (``IncrementalView``
-    / ``ConvStatsConsumer``), refreshed after each micro-batch's apply —
+    / ``ConvStatsConsumer`` / ``lake.derived.DerivedTableSync`` — anything
+    with a committed-batch-checkpointed ``refresh()``), refreshed after
+    each micro-batch's apply —
     the full binlog-in -> lake -> binlog-out -> materialized-view loop in
     one streaming tail. Exactly-once across restart composes for free:
     a consumer checkpoint advances only through COMMITTED batch ids and
