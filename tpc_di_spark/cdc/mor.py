@@ -64,20 +64,39 @@ def apply_batch_mor(orch: "CdcOrchestrator", events: DataFrame, batch_id: int) -
         with_b, tag, assume_bucket_partitioned=table.spark_aligned
     )
 
-    props = dict(table.snapshot.properties)
-    props["delta_batches"] = pending_delta_batches(table) + [
-        {"batch_id": batch_id, "files": files}
-    ]
     # Delta files are tracked in properties (not the base file map), so
     # plain read() keeps returning materialized SCD2 rows only. One atomic
     # commit records both the batch id (exactly-once) and the delta list.
-    table.commit(
-        new_files_by_bucket={},
-        mode="append",
-        batch_id=batch_id,
-        summary={"operation": "cdc-apply-mor", "delta_batch": batch_id},
-        new_properties=props,
-    )
+    # Optimistic-concurrency retry: unlike the CoW merge, the delta files'
+    # CONTENT is state-independent (a pure append of the batch's events),
+    # so a CommitConflict only needs the properties recomputed against the
+    # refreshed snapshot (the competing writer may have added deltas or
+    # compacted some away) and the CAS retried — no rewrite.
+    from tpc_di_spark.lake.table import CommitConflict
+
+    for attempt in range(3):
+        props = dict(table.snapshot.properties)
+        props["delta_batches"] = pending_delta_batches(table) + [
+            {"batch_id": batch_id, "files": files}
+        ]
+        try:
+            table.commit(
+                new_files_by_bucket={},
+                mode="append",
+                batch_id=batch_id,
+                summary={"operation": "cdc-apply-mor", "delta_batch": batch_id},
+                new_properties=props,
+            )
+            break
+        except CommitConflict:
+            table.refresh()
+            if table.is_batch_committed(batch_id):
+                # duelling driver committed this very batch; ours loses
+                # (the written delta files are unreferenced orphans, swept
+                # by the maintenance orphan-file cleanup)
+                return {"batch_id": batch_id, "skipped": "already-committed"}
+            if attempt == 2:
+                raise
     elapsed = time.monotonic() - t0
     return {
         "batch_id": batch_id,

@@ -192,8 +192,33 @@ class CdcOrchestrator:
         self.table.evolve_schema(evolved)
 
     # ------------------------------------------------------------ main apply
-    def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
-        """Apply one CDC batch exactly once. Returns the metrics record."""
+    def apply_batch(self, events: DataFrame, batch_id: int, retries: int = 2) -> dict:
+        """Apply one CDC batch exactly once, with optimistic-concurrency
+        retry: a :class:`CommitConflict` means another writer advanced the
+        table between this apply's snapshot read and its commit CAS, so
+        the staged merge (computed against the stale snapshot) is
+        discarded and the whole apply recomputes against the new state —
+        the Iceberg commit-retry rule, which a CoW merge needs in full
+        (its output depends on the target rows, so nothing staged is
+        salvageable). The re-run's ``is_batch_committed`` check also
+        resolves the duelling-driver case where the competing writer
+        committed THIS batch id. Bounded (default 2 re-computations) so
+        livelock surfaces as the underlying conflict."""
+        from tpc_di_spark.lake.table import CommitConflict
+
+        try:
+            return self._apply_batch_once(events, batch_id)
+        except CommitConflict:
+            if retries <= 0:
+                raise
+            staging = self._staging_dir(batch_id)
+            if self.table.fs.exists(staging):
+                self.table.fs.rmtree(staging)
+            self.table.refresh()
+            return self.apply_batch(events, batch_id, retries=retries - 1)
+
+    def _apply_batch_once(self, events: DataFrame, batch_id: int) -> dict:
+        """One optimistic attempt of :meth:`apply_batch`."""
         t0 = time.monotonic()
         if batch_id <= 0:
             # Negative batch ids are the delete-tombstone marker
