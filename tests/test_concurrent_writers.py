@@ -125,3 +125,74 @@ def test_mor_conflict_recommits_properties(spark, tmp_path):
     assert texts[("a", 0)] == "from-writer-B"
     assert texts[("b", 0)] == "A-delta"
     assert texts[("c", 0)] == "only-B"
+
+
+def test_mor_same_batch_duel_resolves_to_skip_no_leaks(spark, tmp_path):
+    """Two drivers race the SAME MoR batch id (loser wrote its delta
+    files first): the winner's deterministic-tag rewrite replaces the
+    loser's uncommitted files, the loser's CAS conflict resolves to the
+    exactly-once skip, every file the final snapshot references exists on
+    disk, and expire_snapshots finds nothing to sweep (no leaks)."""
+    from tpc_di_spark.cdc.mor import apply_batch_mor, current_state_mor
+    from tpc_di_spark.lake.maintenance import expire_snapshots
+
+    table_a, orch_a = _mk(spark, tmp_path / "t")
+    orch_a.apply_batch(spark.createDataFrame(B1, EV), 1)
+    table_b = LakeTable.load(spark, str(tmp_path / "t"))
+    orch_b = CdcOrchestrator(table_b, buckets_per_group=4)
+
+    _inject_competing_commit(
+        table_a,
+        lambda: apply_batch_mor(orch_b, spark.createDataFrame(B2, EV), 2),
+    )
+    rec = apply_batch_mor(orch_a, spark.createDataFrame(B2, EV), 2)
+    assert rec == {"batch_id": 2, "skipped": "already-committed"}
+
+    table_a.refresh()
+    # winner's referenced delta files all exist (the loser's earlier
+    # write did not corrupt them)
+    import os
+
+    for b in table_a.snapshot.properties.get("delta_batches", []):
+        for fl in b["files"].values():
+            for rel in fl:
+                assert table_a.fs.exists(os.path.join(table_a.path, rel)), rel
+    before = sorted(map(tuple, current_state_mor(table_a).collect()))
+    assert expire_snapshots(table_a, keep_last=1)["removed_files"] == 0
+    assert sorted(map(tuple, current_state_mor(table_a.refresh()).collect())) == before
+
+
+def test_mor_same_batch_duel_write_guard_when_winner_committed_first(spark, tmp_path):
+    """Reverse interleaving: the winner COMMITS before the loser even
+    writes. The loser's deterministic-tag write must NOT rmtree the
+    winner's now-referenced files — the clobber guard raises, the loser
+    resolves to the exactly-once skip, and the winner's files survive."""
+    from tpc_di_spark.cdc.mor import apply_batch_mor, current_state_mor
+
+    table_a, orch_a = _mk(spark, tmp_path / "t")
+    orch_a.apply_batch(spark.createDataFrame(B1, EV), 1)
+    table_b = LakeTable.load(spark, str(tmp_path / "t"))
+    orch_b = CdcOrchestrator(table_b, buckets_per_group=4)
+
+    # winner lands fully first...
+    apply_batch_mor(orch_b, spark.createDataFrame(B2, EV), 2)
+    want = sorted(map(tuple, current_state_mor(table_a.refresh()).collect()))
+
+    # ...then a stale-handled loser attempts the same batch. Simulate the
+    # stale entry check (the loser refreshed BEFORE the winner committed)
+    # by forcing is_batch_committed to miss once.
+    orig = table_a.is_batch_committed
+    state = {"armed": True}
+
+    def stale_once(bid):
+        if state["armed"]:
+            state["armed"] = False
+            return False
+        return orig(bid)
+
+    table_a.is_batch_committed = stale_once
+    # refresh() may rebuild the handle state but the monkeypatched method
+    # persists on the instance; the write-side guard then catches the duel
+    rec = apply_batch_mor(orch_a, spark.createDataFrame(B2, EV), 2)
+    assert rec == {"batch_id": 2, "skipped": "already-committed"}
+    assert sorted(map(tuple, current_state_mor(table_a.refresh()).collect())) == want

@@ -60,9 +60,19 @@ def apply_batch_mor(orch: "CdcOrchestrator", events: DataFrame, batch_id: int) -
     deduped = lww_dedup(table.bucket_partitioned(events), table.key_cols)
     with_b = table.with_bucket(deduped)
     tag = f"delta-{batch_id:06d}"
-    files = table.write_data_files(
-        with_b, tag, assume_bucket_partitioned=table.spark_aligned
-    )
+    from tpc_di_spark.lake.table import CommitConflict
+
+    try:
+        files = table.write_data_files(
+            with_b, tag, assume_bucket_partitioned=table.spark_aligned
+        )
+    except CommitConflict:
+        # The write-side clobber guard: a duelling writer already
+        # committed THIS batch's delta files (same deterministic tag).
+        table.refresh()
+        if table.is_batch_committed(batch_id):
+            return {"batch_id": batch_id, "skipped": "already-committed"}
+        raise
 
     # Delta files are tracked in properties (not the base file map), so
     # plain read() keeps returning materialized SCD2 rows only. One atomic
@@ -91,9 +101,10 @@ def apply_batch_mor(orch: "CdcOrchestrator", events: DataFrame, batch_id: int) -
         except CommitConflict:
             table.refresh()
             if table.is_batch_committed(batch_id):
-                # duelling driver committed this very batch; ours loses
-                # (the written delta files are unreferenced orphans, swept
-                # by the maintenance orphan-file cleanup)
+                # duelling driver committed this very batch; ours loses.
+                # Our files are typically gone already (the winner's
+                # deterministic-tag rewrite replaced them); any residue
+                # is unreferenced and swept by expire_snapshots.
                 return {"batch_id": batch_id, "skipped": "already-committed"}
             if attempt == 2:
                 raise

@@ -710,6 +710,7 @@ class LakeTable:
         """
         out_dir = os.path.join(self.path, _DATA, commit_tag)
         if self.fs.exists(out_dir):
+            self._guard_unreferenced_dir(out_dir)
             self.fs.rmtree(out_dir)  # partial output from a killed attempt
         df_with_bucket = self._to_physical(df_with_bucket)
         (
@@ -721,6 +722,39 @@ class LakeTable:
             .parquet(out_dir)
         )
         return self._list_bucket_files(out_dir)
+
+    def _guard_unreferenced_dir(self, out_dir: str) -> None:
+        """Refuse to clobber a commit dir whose files the CURRENT on-disk
+        snapshot references. Deterministic commit tags make crash-resume
+        rewrite the same dir — safe, because a killed attempt never
+        committed — but a DUELLING writer racing the same unit of work
+        may have already committed these exact paths; rmtree'ing them
+        would corrupt the winner's table (missing referenced files), the
+        one duel outcome optimistic retry cannot repair. Raising
+        CommitConflict routes the loser into its retry, which resolves to
+        the exactly-once skip."""
+        existing = {
+            os.path.relpath(p, self.path)
+            for p in self.fs.walk_files(out_dir)
+            if p.endswith(".parquet")
+        }
+        if not existing:
+            return
+        cur = self._read_current_snapshot(self.path, self.fs)
+        live: set[str] = set()
+        for fmap in (cur.files, cur.hist_files):
+            for fl in fmap.values():
+                live.update(fl)
+        for b in cur.properties.get("delta_batches", []):
+            for fl in b["files"].values():
+                live.update(fl)
+        hit = existing & live
+        if hit:
+            raise CommitConflict(
+                f"commit dir {out_dir} holds {len(hit)} file(s) referenced by "
+                f"current snapshot {cur.snapshot_id} — a concurrent writer "
+                "committed this unit of work"
+            )
 
     def _key_sorted(self, df_with_bucket: DataFrame, extra: Sequence[str] = ()) -> DataFrame:
         """OPT-IN key-sorted writes (table property ``write.sort_keys``,
@@ -762,6 +796,7 @@ class LakeTable:
         """
         out_dir = os.path.join(self.path, _DATA, commit_tag)
         if self.fs.exists(out_dir):
+            self._guard_unreferenced_dir(out_dir)
             self.fs.rmtree(out_dir)
         df_with_bucket = self._to_physical(df_with_bucket)
         ic = F.coalesce(F.col("is_current"), F.lit(True)).cast("string")
