@@ -127,12 +127,13 @@ def test_mor_conflict_recommits_properties(spark, tmp_path):
     assert texts[("c", 0)] == "only-B"
 
 
-def test_mor_same_batch_duel_resolves_to_skip_no_leaks(spark, tmp_path):
+def test_mor_same_batch_duel_resolves_to_skip_loser_files_swept(spark, tmp_path):
     """Two drivers race the SAME MoR batch id (loser wrote its delta
-    files first): the winner's deterministic-tag rewrite replaces the
-    loser's uncommitted files, the loser's CAS conflict resolves to the
-    exactly-once skip, every file the final snapshot references exists on
-    disk, and expire_snapshots finds nothing to sweep (no leaks)."""
+    files first): writer-salted attempt dirs mean NEITHER side touches
+    the other's files; the loser's CAS conflict resolves to the
+    exactly-once skip, every file the final snapshot references exists
+    on disk, and the loser's unreferenced attempt files are exactly what
+    expire_snapshots sweeps — after which the live state is unchanged."""
     from tpc_di_spark.cdc.mor import apply_batch_mor, current_state_mor
     from tpc_di_spark.lake.maintenance import expire_snapshots
 
@@ -150,7 +151,7 @@ def test_mor_same_batch_duel_resolves_to_skip_no_leaks(spark, tmp_path):
 
     table_a.refresh()
     # winner's referenced delta files all exist (the loser's earlier
-    # write did not corrupt them)
+    # write could not have touched them — different salted attempt dirs)
     import os
 
     for b in table_a.snapshot.properties.get("delta_batches", []):
@@ -158,15 +159,22 @@ def test_mor_same_batch_duel_resolves_to_skip_no_leaks(spark, tmp_path):
             for rel in fl:
                 assert table_a.fs.exists(os.path.join(table_a.path, rel)), rel
     before = sorted(map(tuple, current_state_mor(table_a).collect()))
-    assert expire_snapshots(table_a, keep_last=1)["removed_files"] == 0
+    # the loser's salted-attempt delta files are unreferenced orphans:
+    # expiry sweeps them (>0) and the live state is untouched
+    assert expire_snapshots(table_a, keep_last=1)["removed_files"] > 0
     assert sorted(map(tuple, current_state_mor(table_a.refresh()).collect())) == before
+    # nothing referenced was removed
+    for b in table_a.snapshot.properties.get("delta_batches", []):
+        for fl in b["files"].values():
+            for rel in fl:
+                assert table_a.fs.exists(os.path.join(table_a.path, rel)), rel
 
 
 def test_mor_same_batch_duel_write_guard_when_winner_committed_first(spark, tmp_path):
     """Reverse interleaving: the winner COMMITS before the loser even
-    writes. The loser's deterministic-tag write must NOT rmtree the
-    winner's now-referenced files — the clobber guard raises, the loser
-    resolves to the exactly-once skip, and the winner's files survive."""
+    writes. The loser writes its OWN salted attempt dir (the winner's
+    referenced files are untouchable by construction), its commit hits
+    the exactly-once guard as a no-op, and it reports the skip."""
     from tpc_di_spark.cdc.mor import apply_batch_mor, current_state_mor
 
     table_a, orch_a = _mk(spark, tmp_path / "t")
@@ -192,7 +200,101 @@ def test_mor_same_batch_duel_write_guard_when_winner_committed_first(spark, tmp_
 
     table_a.is_batch_committed = stale_once
     # refresh() may rebuild the handle state but the monkeypatched method
-    # persists on the instance; the write-side guard then catches the duel
+    # persists on the instance; commit()'s exactly-once guard then turns
+    # the loser's commit into a no-op, reported as the skip
     rec = apply_batch_mor(orch_a, spark.createDataFrame(B2, EV), 2)
     assert rec == {"batch_id": 2, "skipped": "already-committed"}
     assert sorted(map(tuple, current_state_mor(table_a.refresh()).collect())) == want
+
+
+def _threaded_duel(spark, path, batches_a, batches_b):
+    """Run two orchestrators over the SAME ObjectStoreFS-backed table from
+    separate threads — the production duel, real interleavings, no
+    injection. Returns (records_a, records_b, table_handle)."""
+    import threading
+
+    from tpc_di_spark.lake.fs import ObjectStoreFS
+
+    fs = ObjectStoreFS()
+    table = bootstrap_table(spark, str(path), TRANSCRIPT_SCHEMA, num_buckets=4, fs=fs)
+    # independent CLIENT handles (separate drivers — each with its own
+    # ETag view); the store-side CAS serialization is process-global
+    t_a = LakeTable.load(spark, str(path), fs=ObjectStoreFS())
+    t_b = LakeTable.load(spark, str(path), fs=ObjectStoreFS())
+    orch_a = CdcOrchestrator(t_a, buckets_per_group=4)
+    orch_b = CdcOrchestrator(t_b, buckets_per_group=4)
+    recs: dict[str, list] = {"a": [], "b": []}
+    errs: list[BaseException] = []
+
+    def run(orch, batches, key):
+        try:
+            for bid, df in batches:
+                recs[key].append(orch.apply_batch(df, bid, retries=8))
+        except BaseException as e:  # surfaced below — a thread must not die silently
+            errs.append(e)
+
+    th_a = threading.Thread(target=run, args=(orch_a, batches_a, "a"))
+    th_b = threading.Thread(target=run, args=(orch_b, batches_b, "b"))
+    th_a.start(); th_b.start()
+    th_a.join(); th_b.join()
+    assert not errs, errs
+    return recs["a"], recs["b"], LakeTable.load(spark, str(path), fs=fs)
+
+
+def test_threaded_duel_different_batches_object_store(spark, tmp_path):
+    """Two drivers race DIFFERENT batch ids through the real ObjectStoreFS
+    CAS concurrently: both land exactly once, and the final state equals
+    a sequential replay. Key sets are DISJOINT because cross-batch order
+    between concurrent independent writers is not defined — each batch
+    merge creates a new version for its keys regardless of arrival order
+    (overlapping keys across duelling drivers require a single sequenced
+    tail, which is the orchestrator's documented single-writer-per-key
+    model)."""
+    d1 = [("I", 1, "a", 0, "user", "from-writer-A", T0),
+          ("I", 2, "b", 0, "user", "only-A", T0)]
+    d2 = [("I", 3, "c", 0, "user", "only-B", T0 + dt.timedelta(hours=1)),
+          ("I", 4, "d", 0, "user", "also-B", T0 + dt.timedelta(hours=1))]
+    recs_a, recs_b, table = _threaded_duel(
+        spark,
+        tmp_path / "t",
+        [(1, spark.createDataFrame(d1, EV))],
+        [(2, spark.createDataFrame(d2, EV))],
+    )
+    assert all("skipped" not in r for r in recs_a + recs_b)
+    assert table.is_batch_committed(1) and table.is_batch_committed(2)
+
+    control, orch_c = _mk(spark, tmp_path / "control")
+    orch_c.apply_batch(spark.createDataFrame(d1, EV), 1)
+    orch_c.apply_batch(spark.createDataFrame(d2, EV), 2)
+    got = sorted(map(tuple, current_state(table).collect()))
+    want = sorted(map(tuple, current_state(control).collect()))
+    assert got == want
+
+
+def test_threaded_duel_same_batch_object_store(spark, tmp_path):
+    """Two drivers race the SAME batch id concurrently through the real
+    ObjectStoreFS CAS: exactly one wins, the other resolves to the
+    exactly-once skip (or recomputes into a no-op), every referenced file
+    exists, and the state equals a single apply."""
+    import os
+
+    df = lambda: spark.createDataFrame(B1, EV)  # noqa: E731
+    recs_a, recs_b, table = _threaded_duel(
+        spark, tmp_path / "t", [(1, df())], [(1, df())]
+    )
+    assert table.is_batch_committed(1)
+    skips = [r for r in recs_a + recs_b if r.get("skipped")]
+    wins = [r for r in recs_a + recs_b if not r.get("skipped")]
+    assert len(wins) == 1 and len(skips) == 1, (recs_a, recs_b)
+
+    # winner's referenced files all exist despite the duel
+    for fmap in (table.snapshot.files, table.snapshot.hist_files):
+        for fl in fmap.values():
+            for rel in fl:
+                assert table.fs.exists(os.path.join(table.path, rel)), rel
+
+    control, orch_c = _mk(spark, tmp_path / "control")
+    orch_c.apply_batch(df(), 1)
+    got = sorted(map(tuple, current_state(table).collect()))
+    want = sorted(map(tuple, current_state(control).collect()))
+    assert got == want

@@ -60,19 +60,13 @@ def apply_batch_mor(orch: "CdcOrchestrator", events: DataFrame, batch_id: int) -
     deduped = lww_dedup(table.bucket_partitioned(events), table.key_cols)
     with_b = table.with_bucket(deduped)
     tag = f"delta-{batch_id:06d}"
-    from tpc_di_spark.lake.table import CommitConflict
-
-    try:
-        files = table.write_data_files(
-            with_b, tag, assume_bucket_partitioned=table.spark_aligned
-        )
-    except CommitConflict:
-        # The write-side clobber guard: a duelling writer already
-        # committed THIS batch's delta files (same deterministic tag).
-        table.refresh()
-        if table.is_batch_committed(batch_id):
-            return {"batch_id": batch_id, "skipped": "already-committed"}
-        raise
+    # Writer-salted attempt dirs (LakeTable.write_data_files): a duelling
+    # writer racing this same batch id writes its OWN files — neither
+    # side can delete the other's; the loser is resolved below at the
+    # commit CAS and its files become expire-swept orphans.
+    files = table.write_data_files(
+        with_b, tag, assume_bucket_partitioned=table.spark_aligned
+    )
 
     # Delta files are tracked in properties (not the base file map), so
     # plain read() keeps returning materialized SCD2 rows only. One atomic
@@ -90,21 +84,28 @@ def apply_batch_mor(orch: "CdcOrchestrator", events: DataFrame, batch_id: int) -
             {"batch_id": batch_id, "files": files}
         ]
         try:
-            table.commit(
+            before = table.snapshot.snapshot_id
+            snap = table.commit(
                 new_files_by_bucket={},
                 mode="append",
                 batch_id=batch_id,
                 summary={"operation": "cdc-apply-mor", "delta_batch": batch_id},
                 new_properties=props,
             )
+            if snap.snapshot_id == before:
+                # commit() hit its exactly-once guard without flipping:
+                # a duelling driver landed this very batch between our
+                # entry check and here; our delta files stay unreferenced
+                # (writer-salted dirs — nothing of the winner's was
+                # touched) and expire_snapshots sweeps them.
+                return {"batch_id": batch_id, "skipped": "already-committed"}
             break
         except CommitConflict:
             table.refresh()
             if table.is_batch_committed(batch_id):
                 # duelling driver committed this very batch; ours loses.
-                # Our files are typically gone already (the winner's
-                # deterministic-tag rewrite replaced them); any residue
-                # is unreferenced and swept by expire_snapshots.
+                # Our salted-attempt files are unreferenced residue,
+                # swept by expire_snapshots.
                 return {"batch_id": batch_id, "skipped": "already-committed"}
             if attempt == 2:
                 raise

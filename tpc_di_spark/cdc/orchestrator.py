@@ -359,6 +359,7 @@ class CdcOrchestrator:
         finally:
             deduped.unpersist(blocking=False)
 
+        before = self.table.snapshot.snapshot_id
         snap = self.table.commit(
             new_files_by_bucket=all_files,
             mode="replace",
@@ -368,6 +369,13 @@ class CdcOrchestrator:
             new_file_stats=all_stats,
             summary={"operation": "cdc-apply", "events": n_events},
         )
+        if snap.snapshot_id == before:
+            # commit() hit its exactly-once guard without flipping: a
+            # duelling driver landed this batch id first. Our salted-
+            # attempt files are unreferenced (expire-swept); the staging
+            # manifests memoize only OUR attempt, so drop them with it.
+            self.table.fs.rmtree(staging)
+            return {"batch_id": batch_id, "skipped": "already-committed"}
         self.table.fs.rmtree(staging)
         elapsed = time.monotonic() - t0
         record = {
@@ -458,6 +466,7 @@ class CdcOrchestrator:
         # have lost all its rows to deletes), so the replaced set is
         # old ∪ new current buckets; history is append-only.
         replaced = set(self.table.snapshot.files) | set(files)
+        before = self.table.snapshot.snapshot_id
         snap = self.table.commit(
             new_files_by_bucket=files,
             mode="replace",
@@ -467,6 +476,11 @@ class CdcOrchestrator:
             new_file_stats=fstats,
             summary={"operation": "cdc-apply", "events": n_events},
         )
+        if snap.snapshot_id == before:
+            # Exactly-once no-op (duelling driver won this batch id) —
+            # see the grouped path; our files/manifests are ours alone.
+            self.table.fs.rmtree(staging)
+            return {"batch_id": batch_id, "skipped": "already-committed"}
         self.table.fs.rmtree(staging)
         elapsed = time.monotonic() - t0
         record = {
@@ -575,6 +589,7 @@ class CdcOrchestrator:
             self.table.with_bucket(rows), tag
         )
         lineage_rows, fstats = self._lineage_rows(files, {})
+        before = self.table.snapshot.snapshot_id
         snap = self.table.commit(
             new_files_by_bucket=files,
             mode="append",
@@ -586,6 +601,10 @@ class CdcOrchestrator:
                 "tail_start_batch": tail_start_batch,
             },
         )
+        if snap.snapshot_id == before:
+            # Exactly-once no-op: a duelling driver landed this chunk's
+            # batch id first; our salted-attempt files are orphans.
+            return {"batch_id": batch_id, "skipped": "already-committed"}
         elapsed = time.monotonic() - t0
         inserted = sum(lineage_rows.values()) if lineage_rows else 0
         record = {
@@ -629,8 +648,9 @@ class CdcOrchestrator:
         in the SAME atomic commit, pop it from the pending-delta list.
         New row versions carry the ORIGINAL batch id, so the materialized
         lineage is identical to an all-CoW replay. Killed mid-compaction:
-        nothing committed, the delta stays pending, the deterministic tag
-        makes the rewrite idempotent."""
+        nothing committed, the delta stays pending, and the retry writes
+        a fresh salted attempt (the killed attempt's files are
+        unreferenced orphans, expire-swept)."""
         import time as _time
 
         from tpc_di_spark.cdc.mor import pending_delta_batches

@@ -59,6 +59,16 @@ class TableFS:
         point of every table transaction."""
         raise NotImplementedError
 
+    def create_text(self, path: str, text: str) -> None:
+        """CREATE-ONLY atomic PUT (``If-None-Match: *`` on object stores,
+        ``O_EXCL``-style create locally): raises :class:`CasConflict` if
+        the object already exists. Two racers creating the same path
+        resolve to exactly one winner on EVERY backend — the primitive
+        branch-ref creation and write-audit-publish materialization rely
+        on (``replace_text`` alone cannot provide this on POSIX, where a
+        rename silently replaces)."""
+        raise NotImplementedError
+
     def exists(self, path: str) -> bool:
         raise NotImplementedError
 
@@ -148,6 +158,22 @@ class LocalFS(TableFS):
             os.fsync(f.fileno())
         os.rename(tmp, path)
 
+    def create_text(self, path: str, text: str) -> None:
+        # Durable create-only: write+fsync a temp file, then hardlink it
+        # to the target. link(2) fails with EEXIST if the path exists —
+        # an atomic test-and-create, unlike rename's silent replace.
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError as e:
+            raise CasConflict(f"create-only PUT failed — {path} exists") from e
+        finally:
+            os.remove(tmp)
+
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 
@@ -223,9 +249,16 @@ class ObjectStoreFS(TableFS):
       LastModified LIST field.
     """
 
+    # Store-side serialization: a real object store orders conditional
+    # PUTs server-side across ALL clients, so the CAS critical section is
+    # shared by every ObjectStoreFS instance in this process. The ETag
+    # cache below stays PER-INSTANCE (per client handle) — two duelling
+    # drivers each compare against what *they* last read.
+    _STORE_LOCK = threading.Lock()
+
     def __init__(self) -> None:
         self._seen_etags: dict[str, str] = {}
-        self._lock = threading.Lock()
+        self._lock = ObjectStoreFS._STORE_LOCK
 
     @staticmethod
     def _etag(text: str) -> str:
@@ -276,6 +309,22 @@ class ObjectStoreFS(TableFS):
                 f.write(text)
             os.replace(tmp, path)
             self._seen_etags[key] = self._etag(text)
+
+    def create_text(self, path: str, text: str) -> None:
+        # If-None-Match:* — a PUT conditioned on non-existence, regardless
+        # of what this handle has read before (replace_text's implicit
+        # create-only applies only to never-read paths).
+        with self._lock:
+            if os.path.exists(path):
+                raise CasConflict(
+                    f"If-None-Match:* failed — {path} already exists"
+                )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.put-{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, path)
+            self._seen_etags[os.path.abspath(path)] = self._etag(text)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)

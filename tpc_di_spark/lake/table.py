@@ -705,13 +705,22 @@ class LakeTable:
         unique commit dir; return {bucket: [relative paths]}.
 
         ``commit_tag`` is deterministic per unit of work (e.g.
-        ``batch-0007/group-02``) so a killed-and-resumed run rewrites the
-        same directory instead of leaking a new one.
+        ``batch-0007/group-02``) so downstream path-prefix selection
+        (changelog's ``hist_files_of_commit_tag``) can find a batch's
+        files; each physical write lands in a WRITER-SALTED attempt
+        subdirectory under it (``<tag>/attempt-<salt>/``), so no writer
+        ever deletes or overwrites another writer's part files — the one
+        duel outcome optimistic commit retry cannot repair (a loser
+        rmtree'ing a winner's committed-or-about-to-commit files). A
+        killed attempt's files leak as unreferenced orphans and are
+        reclaimed by ``expire_snapshots`` (min-age guarded), exactly like
+        crash orphans; a resumed run that finds a valid checkpoint
+        manifest reuses the previous attempt's files instead of
+        rewriting (orchestrator ``_manifest_valid``).
         """
-        out_dir = os.path.join(self.path, _DATA, commit_tag)
-        if self.fs.exists(out_dir):
-            self._guard_unreferenced_dir(out_dir)
-            self.fs.rmtree(out_dir)  # partial output from a killed attempt
+        out_dir = os.path.join(
+            self.path, _DATA, commit_tag, f"attempt-{uuid.uuid4().hex[:8]}"
+        )
         df_with_bucket = self._to_physical(df_with_bucket)
         (
             self._key_sorted(
@@ -722,39 +731,6 @@ class LakeTable:
             .parquet(out_dir)
         )
         return self._list_bucket_files(out_dir)
-
-    def _guard_unreferenced_dir(self, out_dir: str) -> None:
-        """Refuse to clobber a commit dir whose files the CURRENT on-disk
-        snapshot references. Deterministic commit tags make crash-resume
-        rewrite the same dir — safe, because a killed attempt never
-        committed — but a DUELLING writer racing the same unit of work
-        may have already committed these exact paths; rmtree'ing them
-        would corrupt the winner's table (missing referenced files), the
-        one duel outcome optimistic retry cannot repair. Raising
-        CommitConflict routes the loser into its retry, which resolves to
-        the exactly-once skip."""
-        existing = {
-            os.path.relpath(p, self.path)
-            for p in self.fs.walk_files(out_dir)
-            if p.endswith(".parquet")
-        }
-        if not existing:
-            return
-        cur = self._read_current_snapshot(self.path, self.fs)
-        live: set[str] = set()
-        for fmap in (cur.files, cur.hist_files):
-            for fl in fmap.values():
-                live.update(fl)
-        for b in cur.properties.get("delta_batches", []):
-            for fl in b["files"].values():
-                live.update(fl)
-        hit = existing & live
-        if hit:
-            raise CommitConflict(
-                f"commit dir {out_dir} holds {len(hit)} file(s) referenced by "
-                f"current snapshot {cur.snapshot_id} — a concurrent writer "
-                "committed this unit of work"
-            )
 
     def _key_sorted(self, df_with_bucket: DataFrame, extra: Sequence[str] = ()) -> DataFrame:
         """OPT-IN key-sorted writes (table property ``write.sort_keys``,
@@ -794,10 +770,9 @@ class LakeTable:
         versions are written once, in the batch that closes them, and no
         later merge touches those bytes again.
         """
-        out_dir = os.path.join(self.path, _DATA, commit_tag)
-        if self.fs.exists(out_dir):
-            self._guard_unreferenced_dir(out_dir)
-            self.fs.rmtree(out_dir)
+        out_dir = os.path.join(
+            self.path, _DATA, commit_tag, f"attempt-{uuid.uuid4().hex[:8]}"
+        )
         df_with_bucket = self._to_physical(df_with_bucket)
         ic = F.coalesce(F.col("is_current"), F.lit(True)).cast("string")
         (

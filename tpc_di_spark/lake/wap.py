@@ -28,14 +28,16 @@ Mechanics on this table format:
   targets the ref file, through the same ``TableFS.replace_text``
   conditional-PUT primitive as ``VERSION``.
 - **Publish = verify fast-forward, materialize, CAS VERSION.** The
-  staged chain is copied verbatim into the plain snapshot namespace
-  (ids cannot collide: publish requires main still at the fork point),
-  then ``VERSION`` is CAS-flipped to the staged head. A crash between
-  the two leaves only unreferenced plain-named files that the next
-  successful publish or commit overwrites — never a torn table. If
-  main advanced past the fork, publish raises
-  :class:`~tpc_di_spark.lake.table.CommitConflict` and the branch
-  remains intact for re-staging.
+  staged chain is copied into the plain snapshot namespace with
+  CREATE-ONLY conditional PUTs (``If-None-Match: *``) — a concurrent
+  main commit allocating the same id between the fork check and the
+  copy surfaces as :class:`CommitConflict` instead of being silently
+  clobbered — then ``VERSION`` is CAS-flipped to the staged head. A
+  crash between the two leaves only unreferenced plain-named files
+  that a publish retry recognizes as its own (byte-identical) and
+  skips — never a torn table. If main advanced past the fork, publish
+  raises :class:`~tpc_di_spark.lake.table.CommitConflict` and the
+  branch remains intact for re-staging.
 - **Crash-resumable staging.** ``WapBranch.begin`` on an existing ref
   resumes at its head (the orchestrator's batch-id exactly-once guard
   then skips work the staged chain already holds).
@@ -176,9 +178,10 @@ class WapBranch:
         fs.makedirs(_refs_root(table))
         fork = table.snapshot.snapshot_id
         try:
-            # Create-only PUT (If-None-Match:* on object stores): two
-            # racers opening the same branch resolve to one winner.
-            fs.replace_text(
+            # Create-only PUT (If-None-Match:* on object stores, atomic
+            # link-create on POSIX): two racers opening the same branch
+            # resolve to one winner on every backend.
+            fs.create_text(
                 ref_path, json.dumps({"fork_id": fork, "head_id": fork})
             )
         except CasConflict as e:
@@ -226,7 +229,32 @@ class WapBranch:
             text = fs.read_text(
                 os.path.join(meta, _branch_snap_name(self.name, sid))
             )
-            fs.write_text(os.path.join(meta, LakeTable._snap_name(sid)), text)
+            # CREATE-ONLY conditional PUT: an unconditional copy here
+            # would race a concurrent main commit — main allocates the
+            # same ids (parent+1), so a main snap-NNNNNNNN.json landing
+            # between the fork check above and this copy must NOT be
+            # clobbered with staged content (main's VERSION could then
+            # resolve to the staged snapshot while its own acknowledged
+            # commit is silently lost). A pre-existing BYTE-IDENTICAL
+            # file is this publish's own crash leftover (crash between
+            # materialize and the VERSION CAS) — idempotent, skip it;
+            # anything else is a concurrent main commit -> CommitConflict,
+            # branch left intact for re-staging.
+            dst = os.path.join(meta, LakeTable._snap_name(sid))
+            if fs.exists(dst):
+                if fs.read_text(dst) == text:
+                    continue
+                raise CommitConflict(
+                    f"cannot fast-forward branch {self.name!r}: main "
+                    f"committed snapshot {sid} concurrently"
+                )
+            try:
+                fs.create_text(dst, text)
+            except CasConflict as e:
+                raise CommitConflict(
+                    f"cannot fast-forward branch {self.name!r}: main "
+                    f"committed snapshot {sid} concurrently"
+                ) from e
         try:
             fs.replace_text(
                 os.path.join(meta, _VERSION), LakeTable._snap_name(head)

@@ -42,6 +42,13 @@ def main(argv=None) -> int:
         "readers (lake/wap.py)",
     )
     args = p.parse_args(argv)
+    if args.wap and args.mode == "mor":
+        # Match start_cdc_stream's explicit ValueError: silently ignoring
+        # a safety flag would surprise exactly the user who asked for it
+        # (MoR deltas are raw appends — nothing new to audit until the
+        # read-time fold / compaction).
+        p.error("--wap requires --mode cow (MoR deltas cannot be audited "
+                "pre-publish; audit at compaction instead)")
 
     from tpc_di_spark.cdc import CdcOrchestrator
     from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas

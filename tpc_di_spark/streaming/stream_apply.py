@@ -78,7 +78,9 @@ def start_cdc_stream(
 
     ``audit_checks``: optional write-audit-publish gate (``lake/wap.py``;
     mode='cow' only — MoR deltas are raw appends with nothing new to
-    audit until the read-time fold). Each micro-batch stages on a branch
+    audit until the read-time fold; requires ``quarantine_dir`` so an
+    aborted epoch is never silently discarded). Each micro-batch stages
+    on a branch
     ref, runs the checks, and publishes on pass; a FAILING micro-batch
     aborts the branch (readers never see it), writes the raw batch and
     audit report under ``quarantine_dir``, and the stream continues —
@@ -91,6 +93,14 @@ def start_cdc_stream(
 
     if audit_checks and mode == "mor":
         raise ValueError("audit_checks requires mode='cow' (see docstring)")
+    if audit_checks and quarantine_dir is None:
+        # An audit-failed micro-batch is aborted — without a quarantine
+        # destination its events would be silently discarded (permanent
+        # data loss with no operator signal). Refuse up front.
+        raise ValueError(
+            "audit_checks requires quarantine_dir: aborted micro-batches "
+            "must land somewhere an operator can inspect and replay"
+        )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         bid = base_batch_id + int(epoch_id)
@@ -118,16 +128,17 @@ def start_cdc_stream(
                 wap.publish()
             except AuditFailed as e:
                 wap.abort()
-                if quarantine_dir is not None:
-                    import json as _json
+                import json as _json
 
-                    edir = f"{quarantine_dir}/audit-failed-epoch-{int(epoch_id):06d}"
-                    batch_df.write.mode("overwrite").parquet(edir)
-                    # Unconditional PUT: a restarted stream re-failing the
-                    # same epoch overwrites its previous report.
-                    orchestrator.table.fs.write_text(
-                        f"{edir}/_audit.json", _json.dumps(e.results)
-                    )
+                # quarantine_dir is guaranteed non-None (checked at
+                # stream start) — an aborted epoch is never discarded.
+                edir = f"{quarantine_dir}/audit-failed-epoch-{int(epoch_id):06d}"
+                batch_df.write.mode("overwrite").parquet(edir)
+                # Unconditional PUT: a restarted stream re-failing the
+                # same epoch overwrites its previous report.
+                orchestrator.table.fs.write_text(
+                    f"{edir}/_audit.json", _json.dumps(e.results)
+                )
             orchestrator.table.refresh()
         else:
             orchestrator.apply_batch(batch_df, bid)
