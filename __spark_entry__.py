@@ -2509,6 +2509,245 @@ WHERE rdesc = 1 AND cdc_flag <> 'D' AND role <> 'tool'
 """
 
 
+# ---------------------------------------------------------------------------
+# Q56 — the TPC-DI end-to-end capstone: a MULTI-TABLE replay composing the
+# engine's pieces the way the reference's Step Functions chain composes
+# its per-table scripts (report §4.2-4.3) — historical load, then two
+# incremental CDC batches with SCD2 versioning on the dimension, SK
+# CASCADE RE-POINTING onto the fact (`plans.reference_pipelines.
+# sk_cascade_repoint`, the reference's IncrementalCustomer.py:699-807
+# update cascade), every batch published ATOMICALLY across both tables
+# through `lake.catalog.apply_batch_atomic_wap` with a cross-table
+# FOREIGN-KEY audit gating visibility (the reference's post-load FK audit,
+# report §5.1.1, moved BEFORE publish). The oracle recomputes the final
+# two-table state from `customer`/`orders` in DuckDB:
+#   dim_customer: all customers at batch 1 (SK = ck*10+1); custkey%10==0
+#     updated in batch 2 (SK ck*10+2, acctbal+100); custkey%15==0 updated
+#     in batch 3 (SK ck*10+3, segment 'VIP', acctbal NULL -> retained —
+#     the UPDACCT NULL-field-retention rule, SURVEY P7);
+#   fact_orders: all orders at batch 1 pointing at the batch-1 SKs; each
+#     dim update batch cascades new SKs onto that customer's live orders;
+#     batch 3 deletes orders with o_orderkey%17==0.
+# Any failure — a missed cascade, a wrong SCD2 close, a leaked unpublished
+# batch, an FK orphan — shows up as a row/hash mismatch.
+# ---------------------------------------------------------------------------
+
+def q56_tpcdi_multitable_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.apply import current_state
+    from tpc_di_spark.lake.catalog import Catalog, apply_batch_atomic_wap
+    from tpc_di_spark.lake.wap import unique_business_key
+    from tpc_di_spark.plans.reference_pipelines import sk_cascade_repoint
+    from tpc_di_spark.schemas import LINEAGE_FIELDS
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_of = lambda b: F.to_timestamp(F.lit(f"2024-01-0{b} 00:00:00"))  # noqa: E731
+
+    dim_schema = StructType(
+        [
+            StructField("customer_id", LongType(), False),
+            StructField("customer_sk", LongType(), True),
+            StructField("mktsegment", StringType(), True),
+            StructField("acctbal", DoubleType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+        + LINEAGE_FIELDS
+    )
+    fact_schema = StructType(
+        [
+            StructField("order_id", LongType(), False),
+            StructField("customer_id", LongType(), True),
+            StructField("customer_sk", LongType(), True),
+            StructField("total", DoubleType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+        + LINEAGE_FIELDS
+    )
+    cat = Catalog.create(spark, os.path.join(_scratch_dir("cdc_q56_"), "cat"))
+    dim_t = cat.create_table("dim_customer", dim_schema, num_buckets=8,
+                             key_cols=("customer_id",))
+    fact_t = cat.create_table("fact_orders", fact_schema, num_buckets=8,
+                              key_cols=("order_id",))
+    dim_o = CdcOrchestrator(dim_t, buckets_per_group=8)
+    fact_o = CdcOrchestrator(fact_t, buckets_per_group=8)
+
+    def fk_fact_to_staged_dim(bid: int):
+        """Cross-table FK audit: every live fact customer_sk must exist in
+        the dimension's STAGED state for this batch (both tables stage on
+        `xt-batch-<bid>` branches inside apply_batch_atomic_wap; the dim's
+        check-time handle resumes that branch at its staged head)."""
+
+        def check(wap):
+            from tpc_di_spark.lake.wap import WapBranch
+
+            staged_dim = WapBranch.begin(dim_t, f"xt-batch-{bid:06d}").staged
+            parent = (
+                staged_dim.read(family="current")
+                .filter(F.col("is_current"))
+                .select("customer_sk")
+                .distinct()
+            )
+            child = (
+                wap.staged.read(family="current")
+                .filter(F.col("is_current"))
+                .select("customer_sk")
+                .na.drop()
+            )
+            orphans = child.join(parent, "customer_sk", "left_anti").count()
+            return {"check": "fk_customer_sk", "ok": orphans == 0,
+                    "orphan_rows": orphans}
+
+        return check
+
+    def publish(bid: int, dim_ev, fact_ev):
+        apply_batch_atomic_wap(
+            cat,
+            {"dim_customer": (dim_o, dim_ev), "fact_orders": (fact_o, fact_ev)},
+            batch_id=bid,
+            audit_checks={
+                "dim_customer": [unique_business_key()],
+                "fact_orders": [unique_business_key(), fk_fact_to_staged_dim(bid)],
+            },
+        )
+
+    def cascade(dim_updates, bid: int, exclude_deleted: bool = False):
+        """Re-point live fact rows whose customer minted a new SK — ONE
+        broadcast join against the dim-delta-sized remap (the reference
+        runs one UPDATE per row per table)."""
+        remap = (
+            dim_updates.select("customer_id", F.col("customer_sk").alias("new_sk"))
+            .join(
+                current_state(dim_t).select(
+                    "customer_id", F.col("customer_sk").alias("old_sk")
+                ),
+                "customer_id",
+            )
+            .select("old_sk", "new_sk")
+            .withColumn("hit", F.lit(True))
+        )
+        facts = current_state(fact_t).withColumn("_hit", F.lit(False))
+        rep = sk_cascade_repoint(
+            remap,
+            {"fact_orders": {"df": facts, "sk_col": "customer_sk",
+                             "set": {"_hit": "hit"}}},
+        )["fact_orders"]
+        changed = rep.filter(F.col("_hit")).drop("_hit")
+        if exclude_deleted:
+            changed = changed.filter(F.col("order_id") % 17 != 0)
+        return changed.select(
+            F.lit("U").alias("cdc_flag"),
+            (F.lit(bid) * 10_000_000 + F.col("order_id")).cast("long").alias("cdc_dsn"),
+            "order_id", "customer_id", "customer_sk", "total",
+            ts_of(bid).alias("ts"),
+        )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ck = F.col("c_custkey").cast("long")
+
+    # Batch 1 — historical load (SURVEY S7): every customer + every order.
+    dim1 = c.select(
+        F.lit("I").alias("cdc_flag"), ck.alias("cdc_dsn"),
+        ck.alias("customer_id"), (ck * 10 + 1).alias("customer_sk"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        ts_of(1).alias("ts"),
+    )
+    fact1 = o.select(
+        F.lit("I").alias("cdc_flag"), F.col("o_orderkey").cast("long").alias("cdc_dsn"),
+        F.col("o_orderkey").cast("long").alias("order_id"),
+        F.col("o_custkey").cast("long").alias("customer_id"),
+        (F.col("o_custkey").cast("long") * 10 + 1).alias("customer_sk"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        ts_of(1).alias("ts"),
+    )
+    publish(1, dim1, fact1)
+
+    # Batch 2 — SCD2 updates for custkey%10==0 (new SK, acctbal+100) and
+    # the SK cascade onto their live orders, one atomic publish.
+    dim2 = c.filter(ck % 10 == 0).select(
+        F.lit("U").alias("cdc_flag"), (F.lit(2_000_000) + ck).alias("cdc_dsn"),
+        ck.alias("customer_id"), (ck * 10 + 2).alias("customer_sk"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        (F.col("c_acctbal").cast("double") + 100.0).alias("acctbal"),
+        ts_of(2).alias("ts"),
+    )
+    publish(2, dim2, cascade(dim2, 2))
+
+    # Batch 3 — updates for custkey%15==0 (segment 'VIP', acctbal NULL ->
+    # retained), the cascade for their surviving orders, and deletes of
+    # o_orderkey%17==0 — one atomic publish, FK-gated.
+    dim3 = c.filter(ck % 15 == 0).select(
+        F.lit("U").alias("cdc_flag"), (F.lit(3_000_000) + ck).alias("cdc_dsn"),
+        ck.alias("customer_id"), (ck * 10 + 3).alias("customer_sk"),
+        F.lit("VIP").alias("mktsegment"),
+        F.lit(None).cast("double").alias("acctbal"),
+        ts_of(3).alias("ts"),
+    )
+    deletes = current_state(fact_t).filter(F.col("order_id") % 17 == 0).select(
+        F.lit("D").alias("cdc_flag"),
+        (F.lit(35_000_000) + F.col("order_id")).cast("long").alias("cdc_dsn"),
+        "order_id", ts_of(3).alias("ts"),
+    )
+    fact3 = cascade(dim3, 3, exclude_deleted=True).unionByName(
+        deletes, allowMissingColumns=True
+    )
+    publish(3, dim3, fact3)
+
+    # Final multi-table state, joined THROUGH the surrogate key (a missed
+    # cascade drops the row from the join) + per-customer SCD2 version
+    # counts from the dimension's full (current ∪ history) lineage.
+    versions = (
+        dim_t.read(family="all")
+        .groupBy("customer_id")
+        .agg(F.count("*").alias("dim_versions"))
+    )
+    dim_cur = current_state(dim_t).select(
+        "customer_sk", "customer_id", "mktsegment", "acctbal"
+    ).join(versions, "customer_id")
+    return (
+        current_state(fact_t)
+        .select("order_id", "customer_sk", "total")
+        .join(dim_cur, "customer_sk")
+        .select("order_id", "customer_id", "customer_sk", "total",
+                "mktsegment", "acctbal", "dim_versions")
+    )
+
+
+Q56_SQL = """
+WITH dimf AS (
+  SELECT c_custkey AS customer_id,
+         CASE WHEN c_custkey % 15 = 0 THEN c_custkey*10+3
+              WHEN c_custkey % 10 = 0 THEN c_custkey*10+2
+              ELSE c_custkey*10+1 END AS customer_sk,
+         CASE WHEN c_custkey % 15 = 0 THEN 'VIP' ELSE c_mktsegment END AS mktsegment,
+         CAST(c_acctbal AS DOUBLE)
+           + CASE WHEN c_custkey % 10 = 0 THEN 100.0 ELSE 0.0 END AS acctbal,
+         CAST(1 + CAST(c_custkey % 10 = 0 AS INT)
+                + CAST(c_custkey % 15 = 0 AS INT) AS BIGINT) AS dim_versions
+  FROM customer)
+SELECT o.o_orderkey AS order_id,
+       d.customer_id,
+       d.customer_sk,
+       CAST(o.o_totalprice AS DOUBLE) AS total,
+       d.mktsegment,
+       d.acctbal,
+       d.dim_versions
+FROM orders o
+JOIN dimf d ON o.o_custkey = d.customer_id
+WHERE o.o_orderkey % 17 <> 0
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -2580,6 +2819,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_catalog_atomic_join": q53_catalog_atomic_join,
     "q54_state_reconcile": q54_state_reconcile,
     "q55_derived_table_sync": q55_derived_table_sync,
+    "q56_tpcdi_multitable_replay": q56_tpcdi_multitable_replay,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2642,6 +2882,7 @@ _ORACLES: dict[str, str] = {
     "q53_catalog_atomic_join": Q53_SQL,
     "q54_state_reconcile": Q54_SQL,
     "q55_derived_table_sync": Q55_SQL,
+    "q56_tpcdi_multitable_replay": Q56_SQL,
 }
 
 

@@ -470,3 +470,135 @@ def test_apply_batch_atomic_wap_resumes_after_partial_publish(spark, tmp_path):
     reader = Catalog.load(spark, cat.path)
     assert reader.state.version == ver1 + 1
     assert reader.state.summary["batch_id"] == 2
+
+
+def test_cross_table_fk_audit_gates_poisoned_cascade(spark, tmp_path):
+    """q56's referential-integrity gate as a unit: a fact batch whose
+    customer_sk references NO staged dimension row must abort the WHOLE
+    cross-table publish — both tables and the catalog stay put — and the
+    corrected cascade then publishes cleanly. This is the reference's
+    post-load FK audit (report §5.1.1) moved BEFORE visibility."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from tpc_di_spark.lake.catalog import apply_batch_atomic_wap
+    from tpc_di_spark.lake.wap import AuditFailed, WapBranch, list_branches
+    from tpc_di_spark.schemas import LINEAGE_FIELDS
+
+    dim_schema = StructType(
+        [
+            StructField("customer_id", LongType(), False),
+            StructField("customer_sk", LongType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+        + LINEAGE_FIELDS
+    )
+    fact_schema = StructType(
+        [
+            StructField("order_id", LongType(), False),
+            StructField("customer_sk", LongType(), True),
+            StructField("total", DoubleType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+        + LINEAGE_FIELDS
+    )
+    cat = Catalog.create(spark, str(tmp_path / "cat"))
+    dim_t = cat.create_table("dim_customer", dim_schema, num_buckets=4,
+                             key_cols=("customer_id",))
+    fact_t = cat.create_table("fact_orders", fact_schema, num_buckets=4,
+                              key_cols=("order_id",))
+    dim_o = CdcOrchestrator(dim_t, buckets_per_group=4)
+    fact_o = CdcOrchestrator(fact_t, buckets_per_group=4)
+
+    def fk_check(bid):
+        def check(wap):
+            staged_dim = WapBranch.begin(dim_t, f"xt-batch-{bid:06d}").staged
+            parent = (
+                staged_dim.read(family="current")
+                .filter(F.col("is_current"))
+                .select("customer_sk").distinct()
+            )
+            child = (
+                wap.staged.read(family="current")
+                .filter(F.col("is_current"))
+                .select("customer_sk").na.drop()
+            )
+            orphans = child.join(parent, "customer_sk", "left_anti").count()
+            return {"check": "fk_customer_sk", "ok": orphans == 0,
+                    "orphan_rows": orphans}
+        return check
+
+    EVD = "cdc_flag string, cdc_dsn long, customer_id long, customer_sk long, ts timestamp"
+    EVF = "cdc_flag string, cdc_dsn long, order_id long, customer_sk long, total double, ts timestamp"
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim1 = spark.createDataFrame(
+        [("I", i, i, i * 10 + 1, t0) for i in range(1, 6)], EVD
+    )
+    fact1 = spark.createDataFrame(
+        [("I", 100 + i, 100 + i, (i % 5 + 1) * 10 + 1, 9.99, t0) for i in range(10)],
+        EVF,
+    )
+    apply_batch_atomic_wap(
+        cat,
+        {"dim_customer": (dim_o, dim1), "fact_orders": (fact_o, fact1)},
+        batch_id=1,
+        audit_checks={"fact_orders": [fk_check(1)]},
+    )
+    assert dim_t.refresh().is_batch_committed(1)
+    assert fact_t.refresh().is_batch_committed(1)
+
+    # Batch 2: dim mints new SKs for customers 1-2 but the fact cascade is
+    # POISONED — it points order 100 at SK 999 (nobody's). Abort everything.
+    dim2 = spark.createDataFrame(
+        [("U", 1_000 + i, i, i * 10 + 2, t0 + dt.timedelta(days=1)) for i in (1, 2)],
+        EVD,
+    )
+    poisoned = spark.createDataFrame(
+        [("U", 2_000, 100, 999, 9.99, t0 + dt.timedelta(days=1))], EVF
+    )
+    snaps = (dim_t.snapshot.snapshot_id, fact_t.snapshot.snapshot_id)
+    ver = cat.refresh().state.version
+    with pytest.raises(AuditFailed) as ei:
+        apply_batch_atomic_wap(
+            cat,
+            {"dim_customer": (dim_o, dim2), "fact_orders": (fact_o, poisoned)},
+            batch_id=2,
+            audit_checks={"fact_orders": [fk_check(2)]},
+        )
+    failing = [r for r in ei.value.results if not r["ok"]]
+    assert failing and failing[0]["check"] == "fk_customer_sk"
+    # 4 orphans: order 100's bogus SK 999 plus the three live orders of
+    # customers 1-2 the poisoned batch FAILED to cascade (their old SKs
+    # 11/21 were closed by dim2) — the audit catches the missing cascade,
+    # not just the bogus pointer.
+    assert failing[0]["orphan_rows"] == 4
+    assert (dim_t.refresh().snapshot.snapshot_id,
+            fact_t.refresh().snapshot.snapshot_id) == snaps
+    assert not dim_t.is_batch_committed(2) and not fact_t.is_batch_committed(2)
+    assert cat.refresh().state.version == ver
+    assert list_branches(dim_t) == {} and list_branches(fact_t) == {}
+
+    # Corrected cascade: EVERY live order of customers 1-2 re-points to
+    # the staged dim's new SKs (orders 100/105 -> 12, 101/106 -> 22).
+    fixed = spark.createDataFrame(
+        [("U", 2_000 + oid, oid, cust * 10 + 2, 9.99,
+          t0 + dt.timedelta(days=1))
+         for oid, cust in ((100, 1), (105, 1), (101, 2), (106, 2))],
+        EVF,
+    )
+    apply_batch_atomic_wap(
+        cat,
+        {"dim_customer": (dim_o, dim2), "fact_orders": (fact_o, fixed)},
+        batch_id=2,
+        audit_checks={"fact_orders": [fk_check(2)]},
+    )
+    assert dim_t.refresh().is_batch_committed(2)
+    assert fact_t.refresh().is_batch_committed(2)
+    assert cat.refresh().state.version == ver + 1
