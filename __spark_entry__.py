@@ -2748,6 +2748,251 @@ WHERE o.o_orderkey % 17 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Q57 — ANN index freshness under CDC (lake/ivf_sync.IvfIndexSync): an IVF
+# cell-assignment index maintained from an embedding table's changelog.
+# Three CDC batches over `embeddings` (insert all; negate %7 vectors;
+# delete %11 + re-embed %13 as 0.5-x of the original); the sync consumes
+# batch ranges (1-2 in one refresh, 3 incrementally), assigning ONLY the
+# changed vectors per refresh (O(changed) distance work — pytest-asserted)
+# and tracking reassignment drift. The oracle recomputes the FINAL index
+# from scratch in DuckDB: the surviving vectors' exact-DECIMAL nearest
+# centroid over the same inline centroid literals (q41's assignment SQL).
+# Any staleness — a missed re-assignment, an undeleted key, a wrong cell —
+# is a row/hash mismatch.
+# ---------------------------------------------------------------------------
+
+_IVF_SYNC_NLIST = 8
+_IVF_SYNC_DIM = 64
+
+
+def q57_ivf_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.lake.ivf_sync import IvfIndexSync
+    from tpc_di_spark.lake.table import LakeTable
+    from tpc_di_spark.operators.ivf import pseudo_centroids
+    from tpc_di_spark.schemas import LINEAGE_FIELDS
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_of = lambda b: F.to_timestamp(F.lit(f"2024-01-0{b} 00:00:00"))  # noqa: E731
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    vid = F.col("vec_id")
+
+    b1 = e.select(
+        F.lit("I").alias("cdc_flag"), vid.alias("cdc_dsn"),
+        "vec_id", "embedding", ts_of(1).alias("ts"),
+    )
+    b2 = e.filter(vid % 7 == 0).select(
+        F.lit("U").alias("cdc_flag"), (F.lit(1_000_000) + vid).alias("cdc_dsn"),
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        ts_of(2).alias("ts"),
+    )
+    upd3 = e.filter((vid % 13 == 0) & (vid % 11 != 0)).select(
+        F.lit("U").alias("cdc_flag"), (F.lit(3_000_000) + vid).alias("cdc_dsn"),
+        "vec_id",
+        F.transform("embedding", lambda x: F.lit(0.5) - x).alias("embedding"),
+        ts_of(3).alias("ts"),
+    )
+    del3 = e.filter(vid % 11 == 0).select(
+        F.lit("D").alias("cdc_flag"), (F.lit(2_000_000) + vid).alias("cdc_dsn"),
+        "vec_id", ts_of(3).alias("ts"),
+    )
+    b3 = upd3.unionByName(del3, allowMissingColumns=True)
+
+    d = _scratch_dir("cdc_q57_")
+    parent = LakeTable.create(
+        spark, os.path.join(d, "emb"),
+        StructType(
+            [
+                StructField("vec_id", LongType(), False),
+                StructField("embedding", ArrayType(DoubleType()), True),
+                StructField("ts", TimestampType(), True),
+            ]
+            + LINEAGE_FIELDS
+        ),
+        num_buckets=8, key_cols=("vec_id",),
+    )
+    index = LakeTable.create(
+        spark, os.path.join(d, "ivf"),
+        StructType(
+            [
+                StructField("vec_id", LongType(), False),
+                StructField("centroid_id", IntegerType(), True),
+                StructField("ts", TimestampType(), True),
+            ]
+            + LINEAGE_FIELDS
+        ),
+        num_buckets=8, key_cols=("vec_id",),
+    )
+    orch = CdcOrchestrator(parent, buckets_per_group=8)
+    sync = IvfIndexSync(
+        parent, index, os.path.join(d, "sync"),
+        centroids=pseudo_centroids(_IVF_SYNC_NLIST, _IVF_SYNC_DIM),
+    )
+    orch.apply_batch(b1, batch_id=1)
+    orch.apply_batch(b2, batch_id=2)
+    sync.refresh()  # consumes the (0, 2] range in one pass
+    orch.apply_batch(b3, batch_id=3)
+    sync.refresh()  # incremental tail: %11 deletes, %13 re-embeds
+    return (
+        index.refresh()
+        .read(family="current")
+        .filter(F.col("is_current"))
+        .select("vec_id", "centroid_id")
+    )
+
+
+def _q57_sql() -> str:
+    from tpc_di_spark.operators.ivf import pseudo_centroids
+
+    cents = pseudo_centroids(_IVF_SYNC_NLIST, _IVF_SYNC_DIM)
+    values = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+  FROM embeddings),
+final AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 13 = 0 AND vec_id % 11 <> 0
+                THEN list_transform(v0, x -> 0.5 - x)
+              WHEN vec_id % 7 = 0 THEN list_transform(v0, x -> -x)
+              ELSE v0 END AS v
+  FROM base
+  WHERE vec_id % 11 <> 0),
+cents(cid, c) AS (VALUES {values}),
+dists AS (
+  SELECT f.vec_id, cents.cid,
+         list_sum(list_transform(list_zip(f.v, cents.c),
+              s -> CAST((CAST(struct_extract(s, 1) AS DECIMAL(8,6)) - CAST(struct_extract(s, 2) AS DECIMAL(8,6)))
+                        * (CAST(struct_extract(s, 1) AS DECIMAL(8,6)) - CAST(struct_extract(s, 2) AS DECIMAL(8,6))) AS DECIMAL(38,12)))) AS d
+  FROM final f CROSS JOIN cents),
+ranked AS (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+  FROM dists)
+SELECT vec_id, CAST(cid AS INT) AS centroid_id
+FROM ranked WHERE rnk = 1
+"""
+
+
+Q57_SQL = _q57_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q58 — the EXTENDED incremental-view algebra (lake/incremental_view.py):
+# avg_live (invertible Σ/count pair), last_by_ts (deterministic arg-max
+# by (ts, batch, value)), and the NON-invertible live extremes max_live/
+# min_live maintained via recompute-on-retraction (a delete that takes
+# out the extreme rewinds it — the case monotone max_created cannot
+# express). Same engine-integration replay as q50: CoW batch → refresh,
+# MoR batch → refresh holds below the horizon, compaction → catch-up,
+# CoW batch → full-table compaction erases closing tags → per-batch
+# time-travel fallback refresh. The oracle recomputes every aggregate
+# from the full lineage in DuckDB.
+# ---------------------------------------------------------------------------
+
+def q58_incremental_view_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.lake.incremental_view import IncrementalView
+    from tpc_di_spark.lake.maintenance import compact
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 3 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q58_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    view = IncrementalView(
+        table,
+        os.path.join(table_dir, "view"),
+        key_cols=["role"],
+        aggs=[
+            ("count_live", None, "live_turns"),
+            ("avg_live", "cast(length(text) as bigint)", "avg_chars"),
+            ("last_by_ts", "text", "last_text"),
+            ("max_live", "cast(length(text) as bigint)", "max_chars"),
+            ("min_live", "cast(length(text) as bigint)", "min_chars"),
+        ],
+    )
+    batch = lambda b: ev.filter(F.col("_b") == b).drop("_b")  # noqa: E731
+    orch.apply_batch(batch(1), batch_id=1)
+    view.refresh()  # CoW consumption
+    apply_batch_mor(orch, batch(2), batch_id=2)
+    view.refresh()  # holds below the pending MoR delta (horizon)
+    compact_deltas(orch)
+    view.refresh()  # catches up through the materialized batch 2
+    orch.apply_batch(batch(3), batch_id=3)
+    compact(table, max_files_per_bucket=0)  # erases closing tags
+    view.refresh()  # per-batch time-travel fallback + retraction repair
+    return view.state()
+
+
+Q58_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 3 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT conv_id, turn_idx, b, cdc_flag, role, text, ts FROM w WHERE rn = 1),
+seq AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY b DESC) AS rdesc
+        FROM winners),
+created AS (SELECT * FROM seq WHERE cdc_flag <> 'D'),
+live AS (SELECT * FROM created WHERE rdesc = 1),
+liveagg AS (
+  SELECT role,
+         CAST(COUNT(*) AS BIGINT) AS live_turns,
+         AVG(CAST(length(text) AS BIGINT)) AS avg_chars,
+         CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+         CAST(MIN(length(text)) AS BIGINT) AS min_chars
+  FROM live GROUP BY role),
+lastv AS (
+  SELECT role, text AS last_text FROM (
+    SELECT role, text,
+           row_number() OVER (PARTITION BY role ORDER BY ts DESC, b DESC, text DESC) AS rn
+    FROM created) WHERE rn = 1),
+membership AS (SELECT DISTINCT role FROM created)
+SELECT m.role,
+       CAST(COALESCE(l.live_turns, 0) AS BIGINT) AS live_turns,
+       l.avg_chars,
+       lv.last_text,
+       l.max_chars,
+       l.min_chars
+FROM membership m
+LEFT JOIN liveagg l USING (role)
+LEFT JOIN lastv lv USING (role)
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -2820,6 +3065,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_state_reconcile": q54_state_reconcile,
     "q55_derived_table_sync": q55_derived_table_sync,
     "q56_tpcdi_multitable_replay": q56_tpcdi_multitable_replay,
+    "q57_ivf_index_sync": q57_ivf_index_sync,
+    "q58_incremental_view_extended": q58_incremental_view_extended,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2883,6 +3130,8 @@ _ORACLES: dict[str, str] = {
     "q54_state_reconcile": Q54_SQL,
     "q55_derived_table_sync": Q55_SQL,
     "q56_tpcdi_multitable_replay": Q56_SQL,
+    "q57_ivf_index_sync": Q57_SQL,
+    "q58_incremental_view_extended": Q58_SQL,
 }
 
 

@@ -169,7 +169,7 @@ def test_noop_refresh_and_crash_idempotence(spark, tmp_path):
 def test_spec_validation(spark, tmp_path):
     table, _ = _make(spark, tmp_path)
     with pytest.raises(ValueError, match="unknown aggregate kind"):
-        IncrementalView(table, str(tmp_path / "v1"), ["role"], [("avg_live", "x", "a")])
+        IncrementalView(table, str(tmp_path / "v1"), ["role"], [("median_live", "x", "a")])
     with pytest.raises(ValueError, match="takes no expression"):
         IncrementalView(table, str(tmp_path / "v2"), ["role"], [("count_live", "x", "a")])
     with pytest.raises(ValueError, match="requires an expression"):
@@ -207,3 +207,187 @@ def test_legacy_state_dir_without_membership_column(spark, tmp_path):
     )
     got = {r.conv_id for r in consumer.refresh().collect()}
     assert {"a", "b", "zz"} <= got, "quiet legacy keys must survive the upgrade"
+
+
+# ---------------------------------------------------------------------------
+# Extended algebra: avg_live, last_by_ts, and the non-invertible live
+# extremes (max_live/min_live via recompute-on-retraction).
+# ---------------------------------------------------------------------------
+
+EXT_SPEC = [
+    ("count_live", None, "live_turns"),
+    ("avg_live", "cast(length(text) as bigint)", "avg_chars"),
+    ("last_by_ts", "text", "last_text"),
+    ("max_live", "cast(length(text) as bigint)", "max_chars"),
+    ("min_live", "cast(length(text) as bigint)", "min_chars"),
+]
+
+
+def _ext_recompute(table):
+    """Oracle: full lineage recompute of every extended aggregate."""
+    lineage = table.read()
+    live = lineage.filter(F.col("is_current"))
+    base = live.groupBy("role").agg(
+        F.count(F.lit(1)).alias("live_turns"),
+        F.avg(F.length("text").cast("long")).alias("avg_chars"),
+        F.max(F.length("text").cast("long")).alias("max_chars"),
+        F.min(F.length("text").cast("long")).alias("min_chars"),
+    )
+    lb = lineage.groupBy("role").agg(
+        F.max(
+            F.struct(
+                F.col("ts").alias("o1"),
+                F.col("batch_id").cast("long").alias("o2"),
+                F.col("text").alias("v"),
+            )
+        ).alias("p")
+    ).select("role", F.col("p.v").alias("last_text"))
+    rows = (
+        base.join(lb, "role", "full_outer")
+        .select("role", "live_turns", "avg_chars", "last_text",
+                "max_chars", "min_chars")
+        .collect()
+    )
+    return {
+        r.role: (r.live_turns or 0, r.avg_chars, r.last_text,
+                 r.max_chars, r.min_chars)
+        for r in rows
+    }
+
+
+def _ext_viewed(view):
+    return {
+        r.role: (r.live_turns, r.avg_chars, r.last_text, r.max_chars, r.min_chars)
+        for r in view.state().collect()
+    }
+
+
+def test_extended_aggs_equal_full_recompute_per_batch(spark, tmp_path):
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(table, str(tmp_path / "v"), ["role"], EXT_SPEC)
+    for b in (1, 2, 3):
+        orch.apply_batch(_batch(spark, BATCHES[b]), b)
+        view.refresh()
+        got, want = _ext_viewed(view), _ext_recompute(table)
+        # lineage groups whose every version is dead keep a view row
+        # (membership semantics); compare on the view's keys
+        for k, v in got.items():
+            assert v == pytest.approx(want[k], nan_ok=True), (b, k, v, want[k])
+
+
+def test_max_live_retracts_when_extreme_row_dies(spark, tmp_path):
+    """The delete of the longest 'user' text must REWIND max_chars (the
+    case the monotone max_created cannot express), via recompute of only
+    the dirty group."""
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(
+        table, str(tmp_path / "v"), ["role"],
+        [("max_live", "cast(length(text) as bigint)", "max_chars"),
+         ("min_live", "cast(length(text) as bigint)", "min_chars")],
+    )
+    orch.apply_batch(_batch(spark, [
+        ("I", 1, "a", 0, "user", "long long long text", T0),     # 19 chars
+        ("I", 2, "b", 0, "user", "mid text", T0),                # 8
+        ("I", 3, "c", 0, "user", "s", T0),                       # 1
+        ("I", 4, "a", 1, "assistant", "other group", T0),
+    ]), 1)
+    st = {r.role: (r.max_chars, r.min_chars) for r in view.refresh().collect()}
+    assert st["user"] == (19, 1)
+
+    # delete the max holder AND the min holder: both extremes rewind
+    orch.apply_batch(_batch(spark, [
+        ("D", 5, "a", 0, None, None, T0 + dt.timedelta(hours=1)),
+        ("D", 6, "c", 0, None, None, T0 + dt.timedelta(hours=1)),
+    ]), 2)
+    st = {r.role: (r.max_chars, r.min_chars) for r in view.refresh().collect()}
+    assert st["user"] == (8, 8)
+    assert st["assistant"] == (11, 11)  # untouched group untouched
+
+    # delete the LAST live row of the group: extremes go NULL
+    orch.apply_batch(_batch(spark, [
+        ("D", 7, "b", 0, None, None, T0 + dt.timedelta(hours=2)),
+    ]), 3)
+    st = {r.role: (r.max_chars, r.min_chars) for r in view.refresh().collect()}
+    assert st["user"] == (None, None)
+
+
+def test_avg_live_ignores_nulls_and_inverts(spark, tmp_path):
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(
+        table, str(tmp_path / "v"), ["role"],
+        [("avg_live", "cast(length(text) as bigint)", "avg_chars")],
+    )
+    orch.apply_batch(_batch(spark, [
+        ("I", 1, "a", 0, "user", "aaaa", T0),      # 4
+        ("I", 2, "b", 0, "user", "aa", T0),        # 2
+    ]), 1)
+    assert {r.role: r.avg_chars for r in view.refresh().collect()} == {"user": 3.0}
+    # update shrinks one value; avg follows exactly (inversion)
+    orch.apply_batch(_batch(spark, [
+        ("U", 3, "a", 0, "user", "aaaaaaaa", T0 + dt.timedelta(hours=1)),  # 8
+    ]), 2)
+    assert {r.role: r.avg_chars for r in view.refresh().collect()} == {"user": 5.0}
+    # delete one: avg over the remaining single row
+    orch.apply_batch(_batch(spark, [
+        ("D", 4, "b", 0, None, None, T0 + dt.timedelta(hours=2)),
+    ]), 3)
+    assert {r.role: r.avg_chars for r in view.refresh().collect()} == {"user": 8.0}
+
+
+def test_last_by_ts_lww_and_watermark(spark, tmp_path):
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(
+        table, str(tmp_path / "v"), ["role"],
+        [("last_by_ts", "text", "last_text")],
+    )
+    orch.apply_batch(_batch(spark, [
+        ("I", 1, "a", 0, "user", "first", T0),
+        ("I", 2, "b", 0, "user", "second", T0 + dt.timedelta(minutes=5)),
+    ]), 1)
+    assert {r.role: r.last_text for r in view.refresh().collect()} == {"user": "second"}
+    # later ts wins across refreshes
+    orch.apply_batch(_batch(spark, [
+        ("U", 3, "a", 0, "user", "third", T0 + dt.timedelta(hours=1)),
+    ]), 2)
+    assert {r.role: r.last_text for r in view.refresh().collect()} == {"user": "third"}
+    # delete does NOT rewind (watermark semantics, like max_created)
+    orch.apply_batch(_batch(spark, [
+        ("D", 4, "a", 0, None, None, T0 + dt.timedelta(hours=2)),
+    ]), 3)
+    assert {r.role: r.last_text for r in view.refresh().collect()} == {"user": "third"}
+
+
+def test_live_extremes_refuse_cow_above_mor_horizon(spark, tmp_path):
+    """The one interleaving recompute-on-retraction cannot serve exactly
+    (CoW batch materialized above a pending MoR delta) is refused with a
+    clear error, not silently drifted past."""
+    from tpc_di_spark.cdc.mor import apply_batch_mor
+
+    table, orch = _make(spark, tmp_path)
+    view = IncrementalView(
+        table, str(tmp_path / "v"), ["role"],
+        [("max_live", "cast(length(text) as bigint)", "max_chars")],
+    )
+    orch.apply_batch(_batch(spark, BATCHES[1]), 1)        # consumable
+    apply_batch_mor(orch, _batch(spark, BATCHES[2]), 2)   # pending delta
+    orch.apply_batch(_batch(spark, BATCHES[3]), 3)        # CoW above it
+    # batch 1 is consumable but the live family already materialized
+    # batch 3 past the horizon — the recompute would read the future
+    with pytest.raises(ValueError, match="beyond the consumable horizon"):
+        view.refresh()
+    # compaction materializes batch 2; everything becomes consumable and
+    # the same view refreshes exactly
+    from tpc_di_spark.cdc.mor import compact_deltas
+
+    compact_deltas(orch)
+    st = {r.role: r.max_chars for r in view.refresh().collect()}
+    want = {
+        r.role: r.mx
+        for r in table.read()
+        .filter(F.col("is_current"))
+        .groupBy("role")
+        .agg(F.max(F.length("text").cast("long")).alias("mx"))
+        .collect()
+    }
+    for k, v in want.items():
+        assert st[k] == v

@@ -124,6 +124,28 @@ class DerivedTableSync:
     def _payload_cols(self, snap) -> list[str]:
         return [f.name for f in snap.schema.fields if f.name not in LINEAGE_COLS]
 
+    def _ckpt_payload(self, upto: int, snap, ck: dict | None) -> dict:
+        """Checkpoint body — subclasses extend (e.g. IvfIndexSync's
+        cumulative drift counter rides the same atomic flip)."""
+        return {"batch_id": upto, "snapshot_id": snap.snapshot_id}
+
+    def _upsert_events(self, matched: DataFrame, payload: list[str]) -> DataFrame:
+        """Map the range's live, filter-passing row versions to child 'I'
+        events. Base: the declarative select_exprs projection; subclasses
+        override for projections a SQL expression cannot express (e.g.
+        IvfIndexSync's broadcast-centroid assignment)."""
+        keys = list(self.parent.key_cols)
+        proj = [F.expr(e).alias(n) for n, e in self.select_exprs.items()]
+        if not proj:  # identity projection: every non-key payload column
+            proj = [F.col(c) for c in payload if c not in keys and c != "ts"]
+        return matched.select(
+            F.lit("I").alias("cdc_flag"),
+            F.col("batch_id").cast("long").alias("cdc_dsn"),
+            *keys,
+            *proj,
+            F.col("ts"),
+        )
+
     def refresh(self) -> dict:
         """Catch the child up through every committed parent batch below
         the merge-on-read materialization horizon; returns a metrics
@@ -193,16 +215,7 @@ class DerivedTableSync:
             .join(created.select(*keys).distinct(), on=keys, how="left_anti")
         )
 
-        proj = [F.expr(e).alias(n) for n, e in self.select_exprs.items()]
-        if not proj:  # identity projection: every non-key payload column
-            proj = [F.col(c) for c in payload if c not in keys and c != "ts"]
-        upserts = matched.select(
-            F.lit("I").alias("cdc_flag"),
-            F.col("batch_id").cast("long").alias("cdc_dsn"),
-            *keys,
-            *proj,
-            F.col("ts"),
-        )
+        upserts = self._upsert_events(matched, payload)
         del_keys = (
             dead.select(*keys, "ts")
             .unionByName(dropped.select(*keys, "ts"))
@@ -221,7 +234,7 @@ class DerivedTableSync:
         # re-derives the same events and no-ops; the checkpoint flips
         # only after the apply committed.
         rec = self.orch.apply_batch(events, batch_id=upto)
-        new_ck = json.dumps({"batch_id": upto, "snapshot_id": snap.snapshot_id})
+        new_ck = json.dumps(self._ckpt_payload(upto, snap, ck))
         if ck is None and not self.fs.exists(self._ckpt_path()):
             self.fs.write_text(self._ckpt_path(), new_ck)
         else:

@@ -26,12 +26,30 @@ maintenance under updates/deletes possible without per-key row state):
 - ``count_closed``          — monotone closed-version counter.
 - ``max_created(expr)`` / ``min_created(expr)`` — monotone extremes over
   ALL created versions (watermark semantics: a delete does not rewind
-  them; a TRUE live-set min/max is not incrementally maintainable
-  without per-key history and is deliberately not offered).
+  them).
+- ``avg_live(expr)``        — SQL AVG over live rows (NULLs ignored),
+  maintained as an invertible (Σ, non-NULL count) pair in hidden state
+  columns; the visible column is their DOUBLE quotient (NULL when no
+  live non-NULL value — empty-AVG semantics).
+- ``last_by_ts(expr)``      — the expr value of the most recently
+  created version in the group, ordered by (ts, batch_id) with ties
+  resolved to the GREATEST expr value (deterministic arg-max; one
+  lexicographic struct max per refresh). Watermark semantics like the
+  created-extremes: a delete does not rewind it.
+- ``max_live(expr)`` / ``min_live(expr)`` — TRUE live-set extremes.
+  These are NOT invertible (a delete can retract the current extreme),
+  so they use RECOMPUTE-ON-RETRACTION: the refresh maintains them as
+  monotone folds until a closed version's value ties-or-beats the
+  candidate extreme, and then recomputes ONLY the affected groups from
+  the table's live file family (bucket/column-pruned scan of the dirty
+  groups' rows — zero extra cost on refreshes whose closes never touch
+  an extreme). Exactness requires the live family to BE the state at
+  the consumed batch; the one interleaving that breaks this (a CoW
+  batch committed above a pending merge-on-read horizon) is refused
+  with an explicit error rather than silently drifting.
 
-Non-goals, by design: avg is ``sum_live/count_live`` at read time;
-count-distinct needs a sketch (see operators/dedup.py for the hashing
-toolbox).
+Non-goals, by design: count-distinct needs a sketch (see
+operators/dedup.py for the hashing toolbox).
 
 A key enters the state with its first created version and stays after
 its last live row dies (its monotone counters still carry information);
@@ -71,7 +89,12 @@ _KINDS = (
     "count_closed",
     "max_created",
     "min_created",
+    "avg_live",
+    "last_by_ts",
+    "max_live",
+    "min_live",
 )
+_LIVE_EXTREMES = ("max_live", "min_live")
 
 
 def needs_per_batch_fallback(table: LakeTable, ck: dict | None) -> bool:
@@ -163,13 +186,26 @@ class IncrementalView:
         ]
         # Aggregate output types come from a zero-row projection of the
         # table schema (the expression's natural Spark type).
+        from pyspark.sql.types import DoubleType
+
         probe = self.table.spark.createDataFrame([], self.table.schema)
         agg_fields = []
         for kind, expr, name in self.aggs:
             if kind.startswith("count"):
                 agg_fields.append(StructField(name, LongType(), False))
-            else:
-                t = probe.select(F.expr(expr).alias(name)).schema[0].dataType
+                continue
+            t = probe.select(F.expr(expr).alias(name)).schema[0].dataType
+            if kind == "avg_live":
+                sum_t = probe.select(F.sum(F.expr(expr)).alias("s")).schema[0].dataType
+                agg_fields.append(StructField(name, DoubleType(), True))
+                agg_fields.append(StructField(f"_h_sum_{name}", sum_t, True))
+                agg_fields.append(StructField(f"_h_n_{name}", LongType(), False))
+            elif kind == "last_by_ts":
+                ts_t = probe.select(F.col("ts")).schema[0].dataType
+                agg_fields.append(StructField(name, t, True))
+                agg_fields.append(StructField(f"_h_ts_{name}", ts_t, True))
+                agg_fields.append(StructField(f"_h_b_{name}", LongType(), True))
+            else:  # extremes (created or live)
                 agg_fields.append(StructField(name, t, True))
         return StructType(
             key_fields + agg_fields + [StructField(_VC, LongType(), False)]
@@ -177,8 +213,10 @@ class IncrementalView:
 
     def state(self) -> DataFrame:
         """The maintained view as of the last :meth:`refresh` (without
-        the hidden membership counter)."""
-        return self._state_full().drop(_VC)
+        the hidden membership counter / component columns)."""
+        full = self._state_full()
+        hidden = [c for c in full.columns if c.startswith("_h_")]
+        return full.drop(_VC, *hidden)
 
     def _state_full(self) -> DataFrame:
         ck = self._load_ckpt()
@@ -241,20 +279,42 @@ class IncrementalView:
                 c_aggs.append(F.sum(F.expr(expr)).alias(f"_c_{name}"))
                 d_aggs.append(F.sum(F.expr(expr)).alias(f"_d_{name}"))
                 d_names.append(f"_d_{name}")
-            elif kind == "max_created":
+            elif kind == "avg_live":
+                c_aggs.append(F.sum(F.expr(expr)).alias(f"_c_s_{name}"))
+                c_aggs.append(F.count(F.expr(expr)).alias(f"_c_k_{name}"))
+                d_aggs.append(F.sum(F.expr(expr)).alias(f"_d_s_{name}"))
+                d_aggs.append(F.count(F.expr(expr)).alias(f"_d_k_{name}"))
+                d_names.extend([f"_d_s_{name}", f"_d_k_{name}"])
+            elif kind == "last_by_ts":
+                # Lexicographic struct MAX = arg-max over (ts, batch_id)
+                # with value tie-break — one agg, deterministic.
+                pack = F.struct(
+                    F.col("ts").alias("o1"),
+                    F.col("batch_id").cast("long").alias("o2"),
+                    F.expr(expr).alias("v"),
+                )
+                c_aggs.append(F.max(pack).alias(f"_c_p_{name}"))
+            elif kind in ("max_created", "max_live"):
                 c_aggs.append(F.max(F.expr(expr)).alias(f"_c_{name}"))
-            elif kind == "min_created":
+                if kind == "max_live":
+                    d_aggs.append(F.max(F.expr(expr)).alias(f"_d_{name}"))
+                    d_names.append(f"_d_{name}")
+            elif kind in ("min_created", "min_live"):
                 c_aggs.append(F.min(F.expr(expr)).alias(f"_c_{name}"))
+                if kind == "min_live":
+                    d_aggs.append(F.min(F.expr(expr)).alias(f"_d_{name}"))
+                    d_names.append(f"_d_{name}")
         c = created.groupBy(*self.key_cols).agg(*c_aggs)
         d = closed.groupBy(*self.key_cols).agg(*d_aggs)
         return self._null_safe_outer(c, d, d_names)
 
-    def _merged_state(self, delta: DataFrame) -> DataFrame:
+    def _merged_state(self, delta: DataFrame, live_provider=None) -> DataFrame:
         zero = F.lit(0).cast("long")
         cols = [F.col(k) for k in self.key_cols]
         cn = F.coalesce(F.col("_c_n"), zero)
         dn = F.coalesce(F.col("_d_n"), zero)
-        for kind, _expr, name in self.aggs:
+        dirty_specs: list[tuple[str, str, str]] = []  # (kind, expr, name)
+        for kind, expr, name in self.aggs:
             old = F.col(name)
             if kind == "count_live":
                 new = F.coalesce(old, zero) + cn - dn
@@ -275,20 +335,126 @@ class IncrementalView:
                     & F.col(f"_d_{name}").isNull(),
                     F.lit(None),
                 ).otherwise(F.coalesce(old, F.lit(0)) + change)
-            elif kind == "max_created":
+            elif kind == "avg_live":
+                hs, hn = f"_h_sum_{name}", f"_h_n_{name}"
+                old_s, old_n = F.col(hs), F.col(hn)
+                cs, ds = F.col(f"_c_s_{name}"), F.col(f"_d_s_{name}")
+                change_s = F.coalesce(cs, F.lit(0)) - F.coalesce(ds, F.lit(0))
+                new_s = F.when(
+                    old_s.isNull() & cs.isNull() & ds.isNull(), F.lit(None)
+                ).otherwise(F.coalesce(old_s, F.lit(0)) + change_s)
+                new_n = (
+                    F.coalesce(old_n, zero)
+                    + F.coalesce(F.col(f"_c_k_{name}"), zero)
+                    - F.coalesce(F.col(f"_d_k_{name}"), zero)
+                )
+                cols.append(
+                    F.try_divide(new_s.cast("double"), new_n).alias(name)
+                )
+                cols.append(new_s.alias(hs))
+                cols.append(new_n.alias(hn))
+                continue
+            elif kind == "last_by_ts":
+                ht, hb = f"_h_ts_{name}", f"_h_b_{name}"
+                ch = F.col(f"_c_p_{name}")
+                old_pack = F.struct(
+                    F.col(ht).alias("o1"), F.col(hb).alias("o2"), old.alias("v")
+                )
+                take_new = ch.isNotNull() & (
+                    F.col(ht).isNull() | (ch > old_pack)
+                )
+                cols.append(
+                    F.when(take_new, ch.getField("v")).otherwise(old).alias(name)
+                )
+                cols.append(
+                    F.when(take_new, ch.getField("o1")).otherwise(F.col(ht)).alias(ht)
+                )
+                cols.append(
+                    F.when(take_new, ch.getField("o2")).otherwise(F.col(hb)).alias(hb)
+                )
+                continue
+            elif kind in ("max_created", "max_live"):
                 new = F.greatest(old, F.col(f"_c_{name}"))
-            else:  # min_created
+                if kind == "max_live":
+                    d = F.col(f"_d_{name}")
+                    cols.append(
+                        (d.isNotNull() & (new.isNull() | (d >= new)))
+                        .alias(f"_dirty_{name}")
+                    )
+                    dirty_specs.append((kind, expr, name))
+            else:  # min_created / min_live
                 new = F.least(old, F.col(f"_c_{name}"))
+                if kind == "min_live":
+                    d = F.col(f"_d_{name}")
+                    cols.append(
+                        (d.isNotNull() & (new.isNull() | (d <= new)))
+                        .alias(f"_dirty_{name}")
+                    )
+                    dirty_specs.append((kind, expr, name))
             cols.append(new.alias(name))
         cols.append((F.coalesce(F.col(_VC), zero) + cn).alias(_VC))
         delta_cols = [c for c in delta.columns if c not in self.key_cols]
-        return (
+        merged = (
             self._null_safe_outer(self._state_full(), delta, delta_cols)
             .select(*cols)
             # a key enters the view with its first created version
             # (delete events for never-seen keys are no-ops)
             .filter(F.col(_VC) > 0)
         )
+        if not dirty_specs:
+            return merged
+        return self._recompute_retracted(merged, dirty_specs, live_provider)
+
+    def _recompute_retracted(
+        self, merged: DataFrame, dirty_specs, live_provider
+    ) -> DataFrame:
+        """max_live/min_live retraction repair: groups whose closed-side
+        extreme tied-or-beat the candidate get their TRUE extreme
+        recomputed from the live file family — only those groups' rows
+        are aggregated (a column-pruned, group-filtered scan); groups
+        untouched by a retraction never pay it."""
+        any_dirty = None
+        for _k, _e, name in dirty_specs:
+            d = F.col(f"_dirty_{name}")
+            any_dirty = d if any_dirty is None else (any_dirty | d)
+        live = live_provider()
+        dirty_keys = merged.filter(any_dirty).select(*self.key_cols).distinct()
+        # Null-safe semi join: restrict the live scan to dirty groups.
+        l, r = live.alias("l"), dirty_keys.alias("r")
+        cond = F.lit(True)
+        for k in self.key_cols:
+            cond = cond & F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        affected = l.join(r, cond, "left_semi")
+        rec_aggs = [
+            (F.max if kind == "max_live" else F.min)(F.expr(expr)).alias(
+                f"_r_{name}"
+            )
+            for kind, expr, name in dirty_specs
+        ]
+        rec = affected.groupBy(
+            *[F.col(f"l.{k}").alias(k) for k in self.key_cols]
+        ).agg(*rec_aggs)
+
+        m, rr = merged.alias("m"), rec.alias("rr")
+        cond2 = F.lit(True)
+        for k in self.key_cols:
+            cond2 = cond2 & F.col(f"m.{k}").eqNullSafe(F.col(f"rr.{k}"))
+        out_cols = []
+        for c in merged.columns:
+            if c.startswith("_dirty_"):
+                continue
+            name_match = next(
+                (n for _k, _e, n in dirty_specs if n == c), None
+            )
+            if name_match is not None:
+                out_cols.append(
+                    F.when(
+                        F.col(f"m._dirty_{c}"), F.col(f"rr._r_{c}")
+                    ).otherwise(F.col(f"m.{c}")).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"m.{c}").alias(c))
+        return m.join(rr, cond2, "left").select(*out_cols)
 
     def refresh(self) -> DataFrame:
         """Catch the view up through every committed batch; returns it.
@@ -315,6 +481,28 @@ class IncrementalView:
             return self.state()
         upto = pending[-1]
 
+        live_provider = None
+        if any(k in _LIVE_EXTREMES for k, _e, _n in self.aggs):
+            # Recompute-on-retraction reads the LIVE file family, which
+            # equals the state at `upto` unless a copy-on-write batch
+            # committed ABOVE a pending merge-on-read horizon (the one
+            # interleaving where the current family runs ahead of the
+            # consumable changelog). Refuse loudly — the alternative is
+            # a silently drifting extreme.
+            beyond = [
+                b for b in committed if b > upto and b not in pending_mor
+            ]
+            if beyond:
+                raise ValueError(
+                    f"max_live/min_live cannot refresh exactly: batches "
+                    f"{beyond} are materialized beyond the consumable "
+                    f"horizon {upto} (pending MoR deltas {pending_mor}). "
+                    "Compact the deltas, then refresh."
+                )
+            live_provider = lambda: (  # noqa: E731
+                self.table.read(family="current").filter(F.col("is_current"))
+            )
+
         created = rows_created_since(self.table, last_batch, snap, upto_batch_id=upto)
         if self._needs_per_batch_fallback(ck):
             closed = None
@@ -324,7 +512,7 @@ class IncrementalView:
         else:
             closed = rows_closed_since(self.table, last_batch, snap, upto_batch_id=upto)
 
-        merged = self._merged_state(self._delta_aggs(created, closed))
+        merged = self._merged_state(self._delta_aggs(created, closed), live_provider)
 
         state_rel = f"state-b{upto:06d}"
         merged.repartition(self.state_partitions, *self.key_cols).write.mode(
