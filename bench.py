@@ -43,15 +43,21 @@ number):
    can starve it (r03+r04 both recorded null here because the full-size
    probe lost its budget gate to pair redraws).
 
-3. Hardware own-scaling probe: a Spark-free memory-bandwidth microbench
-   at the same pinned N and 4N cores, recorded next to the pair samples
-   so every efficiency number ships with its same-window hardware
-   denominator (the box's own 2->8 scaling is 0.78-0.84; per-executor
-   memory buses scale on a real cluster).
+3. Hardware own-scaling probe — now the WINDOW GATE (VERDICT r05 #2):
+   the Spark-free memory-bandwidth microbench at the same pinned N and
+   4N cores runs BEFORE each pair draw; a bandwidth floor <0.7 marks a
+   window that cannot evidence >=0.8 job scaling, so the pair defers
+   (bounded wait + re-probe, every deferral recorded) instead of
+   burning ~180s in it. Each pair carries its own gate probe; the
+   emitted bracket is the best pair's same-window sample (the box's own
+   clean 2->8 scaling is 0.78-0.84; per-executor memory buses scale on
+   a real cluster).
 
 4. Query suite: every driver-contract query from __spark_entry__.py at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-   local[$SPARK_GRAFT_CPUS], each forced end-to-end with a noop write.
+   local[$SPARK_GRAFT_CPUS], each forced end-to-end with a noop write;
+   then a warm SECOND SAMPLE of the 5 slowest (VERDICT r05 #5) so a 4x
+   window inflation self-identifies as window noise in the artifact.
 
 5. Dedup scale curve (budget-gated): MinHash->LSH->cluster end-to-end
    over the sf0.1 documents corpus and a deterministically replicated
@@ -88,21 +94,22 @@ SCALE_TURNS = 50
 # single draw samples one noise window and that becomes the round's
 # number) while taking most of the amortization win.
 SCALE_INCR = int(os.environ.get("BENCH_CDC_INCR", "3000000"))
-# 700s: room for a third pair draw in slow windows. Safe against a
-# harsher external timeout because a complete result line is emitted
-# after every stage AND every 6 suite queries — truncation costs at most
-# a few per-query timings, never the CDC numbers.
-BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "700"))
+# 720s: room for a third pair draw in slow windows (the r05 driver run
+# tolerated ~790s wall). Safe against a harsher external timeout because
+# a complete result line is emitted after every stage AND every 6 suite
+# queries — truncation costs at most a few per-query timings, never the
+# CDC numbers.
+BENCH_BUDGET_SECS = int(os.environ.get("BENCH_BUDGET_SECS", "720"))
 # Level-invariant job partitioning (shuffle + generation): 2 tasks/core
 # at the 4N level; the N level runs the identical job in more waves.
 BENCH_JOB_PARTS = int(os.environ.get("BENCH_JOB_PARTS", str(SCALE_N * 4 * 2)))
 DETAIL_PATH = os.path.join(REPO, "BENCH_DETAIL.json")
 # Reserve for the post-pair stages when gating extra draws: the query
 # suite must always run (the driver records per-query timings; the
-# 51-query suite measured 82-130s wall at local[32] depending on window,
-# incl. session + oracle-tax queries — 150 leaves margin while letting a
-# third pair draw fit when the headline is short).
-SUITE_RESERVE_SECS = 150
+# 58-query suite measured ~135-185s wall at local[32] depending on
+# window — the r06 engine-integration additions q56/q57/q58 cost ~51s
+# together — plus ~30-60s for the slowest-query second samples).
+SUITE_RESERVE_SECS = 210
 # Dedicated MoR probe: 2M events through the O(batch) delta-append path
 # on a 4N-pinned subprocess. Small enough (~30-45s incl. historical
 # bootstrap) to run unconditionally after pair 1.
@@ -125,8 +132,8 @@ SF_OVERRIDES = {
 
 
 def run_query_suite(
-    cores: int, on_progress=None
-) -> tuple[dict[str, float], dict[str, float]]:
+    cores: int, on_progress=None, second_sample_n: int = 5
+) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
     import __spark_entry__ as entrymod
     from tpc_di_spark.session import get_spark
 
@@ -155,8 +162,21 @@ def run_query_suite(
         # line was all that survived).
         if on_progress is not None and (i + 1) % 6 == 0:
             on_progress(timings, overridden)
+    # Warm SECOND SAMPLE of the slowest queries (VERDICT r05 #5): a 4x
+    # window inflation on one query (q47 5.1->20.9s in r05) reads as a
+    # regression from the artifact alone unless the artifact carries its
+    # own re-time. Recorded next to the first sample; judge against
+    # min(first, second) when the two disagree.
+    second: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in sorted(timings, key=timings.get, reverse=True)[:second_sample_n]:
+        t0 = time.monotonic()
+        qs[name](spark, SF_OVERRIDES.get(name, SF_DIR)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        second[name] = round(time.monotonic() - t0, 3)
     spark.stop()
-    return timings, overridden
+    return timings, overridden, second
 
 
 def run_cdc_replay(cores: int, n_convs: int, n_incr: int) -> dict:
@@ -263,10 +283,53 @@ def main() -> None:
     pure_pair_secs: list[float] = []
     queries: dict[str, float] = {}
     overridden: dict[str, float] = {}
+    second_sample: dict[str, float] = {}
     mor = None
+    hw_probes: list[dict] = []
+    deferrals: list[dict] = []
+    EST_PAIR_SECS = 180  # pre-measurement estimate for reserve math
 
     def budget_left(reserve: float) -> bool:
         return time.monotonic() - t_start + reserve < BENCH_BUDGET_SECS
+
+    def gated_probe(label: str) -> dict:
+        """hw-bracket WINDOW GATE (VERDICT r05 #2): the Spark-free probe
+        costs ~8s; a pair draw costs ~180s. When the bandwidth floor
+        reads contended (<0.7 — a window that cannot evidence >=0.8 job
+        scaling no matter how good the engine is), DEFER the pair: wait
+        and re-probe, bounded by budget and 3 attempts, recording every
+        deferral. If no clean window appears, proceed anyway (a recorded
+        number with its bracket beats no number) with the deferral trail
+        in BENCH_DETAIL.json."""
+        attempts = 0
+        while True:
+            hw = _hw_own_scaling()
+            hw["at_secs"] = round(time.monotonic() - t_start, 1)
+            hw["gate_for"] = label
+            hw_probes.append(hw)
+            floor = hw.get("bandwidth_bound_floor")
+            if floor is None or floor >= 0.7:
+                return hw
+            attempts += 1
+            if attempts >= 3 or not budget_left(
+                30 + EST_PAIR_SECS + SUITE_RESERVE_SECS
+            ):
+                deferrals.append(
+                    {"gate_for": label, "floor": floor, "gave_up": True}
+                )
+                _progress(
+                    f"window gate: floor {floor} still <0.7, proceeding "
+                    f"with contended window recorded ({label})", t_start,
+                )
+                return hw
+            deferrals.append(
+                {"gate_for": label, "floor": floor, "waited_secs": 25}
+            )
+            _progress(
+                f"window gate: floor {floor} <0.7 — deferring {label} 25s",
+                t_start,
+            )
+            time.sleep(25)
 
     def run_pair(redraw_reserve: float = 0.0) -> dict:
         """One matched scaling pair: >=1 draw per level in the same time
@@ -326,15 +389,31 @@ def main() -> None:
             "efficiency": round(eff(), 3),
         }
 
-    def emit(hw=None) -> None:
-        _emit(queries, overridden, pairs, mor, hw)
+    def best_pair_hw():
+        # The bracket the headline should be judged against: the gate
+        # probe taken in the BEST pair's window (falling back to the
+        # latest probe before any pair exists).
+        if pairs:
+            return max(pairs, key=lambda p: p["efficiency"]).get(
+                "hw_gate"
+            ) or (hw_probes[-1] if hw_probes else None)
+        return hw_probes[-1] if hw_probes else None
 
-    # ---- Stage 1: first scaling pair (before anything else can eat
-    # budget). pair_secs tracks the PURE pair cost (one N + one 4N
-    # subprocess, excluding redraws) — it sizes the budget gate for
-    # further draws, and counting redraw time would starve them.
-    EST_PAIR_SECS = 180  # pre-measurement estimate for reserve math
+    def emit(dedup_scale=None) -> None:
+        _emit(
+            queries, overridden, pairs, mor, best_pair_hw(), dedup_scale,
+            second_sample=second_sample, hw_probes=hw_probes,
+            deferrals=deferrals,
+        )
+
+    # ---- Stage 1: window-gated first scaling pair (before anything else
+    # can eat budget). The gate probe doubles as the run's first hw
+    # bracket sample. pure_pair_secs tracks the PURE pair cost (one N +
+    # one 4N subprocess, excluding redraws) — it sizes the budget gate
+    # for further draws, and counting redraw time would starve them.
+    hw = gated_probe("pair-1")
     pairs.append(run_pair(redraw_reserve=EST_PAIR_SECS + MOR_RESERVE_SECS))
+    pairs[-1]["hw_gate"] = hw
     # Emit a COMPLETE (queries-empty) result line now: any external
     # timeout from here on still leaves a parseable line with CDC numbers.
     emit()
@@ -348,18 +427,14 @@ def main() -> None:
     _progress(f"MoR done: {mor}", t_start)
     emit()
 
-    # ---- Stage 3: hardware own-scaling probe (Spark-free memory-
-    # bandwidth kernel at the same pinned core counts, ~10s): the run's
-    # own measured ceiling, recorded next to the pair samples.
-    hw = _hw_own_scaling()
-    _progress(f"hw own-scaling: {hw}", t_start)
-
     # Second pair when it fits: two independent windows is the minimum
     # honest sample (r02's single draw sampled one bad window and that
-    # became the round's number).
+    # became the round's number). Window-gated like the first.
     if budget_left(min(pure_pair_secs) * 1.05 + SUITE_RESERVE_SECS - 40):
+        hw = gated_probe("pair-2")
         pairs.append(run_pair())
-        emit(hw)
+        pairs[-1]["hw_gate"] = hw
+        emit()
 
     # ---- Stage 4: a third pair only if the HEADLINE (min of best pair
     # and cross-window clean estimate — the recorded number) is still
@@ -367,16 +442,25 @@ def main() -> None:
     if _headline(pairs) < 0.8 and budget_left(
         min(pure_pair_secs) * 1.05 + SUITE_RESERVE_SECS
     ):
+        hw = gated_probe("pair-3")
         pairs.append(run_pair())
-        emit(hw)
+        pairs[-1]["hw_gate"] = hw
+        emit()
 
-    # ---- Stage 5: query suite (always runs; the driver needs timings).
+    # ---- Stage 5: query suite (always runs; the driver needs timings),
+    # ending with the warm second sample of the slowest queries.
     def suite_progress(t, o):
-        _emit(t, o, pairs, mor, hw)
+        _emit(
+            t, o, pairs, mor, best_pair_hw(),
+            second_sample=second_sample, hw_probes=hw_probes,
+            deferrals=deferrals,
+        )
 
-    queries, overridden = run_query_suite(CPUS, on_progress=suite_progress)
-    _progress("query suite done", t_start)
-    emit(hw)
+    queries, overridden, second_sample = run_query_suite(
+        CPUS, on_progress=suite_progress
+    )
+    _progress(f"query suite done; second_sample={second_sample}", t_start)
+    emit()
 
     # ---- Stage 6: dedup scale curve (budget-gated): the measured
     # evidence that MinHash->LSH candidate generation grows linearly.
@@ -389,7 +473,7 @@ def main() -> None:
             _progress(f"dedup scale: {dedup_scale}", t_start)
         except Exception as e:  # never lose the result line to this stage
             dedup_scale = {"error": str(e)[:200]}
-        _emit(queries, overridden, pairs, mor, hw, dedup_scale)
+        emit(dedup_scale)
 
 
 def _clean_est(pairs) -> float:
@@ -412,7 +496,10 @@ def _headline(pairs) -> float:
     return round(min(max(p["efficiency"] for p in pairs), _clean_est(pairs)), 3)
 
 
-def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> None:
+def _emit(
+    queries, overridden, pairs, mor=None, hw=None, dedup_scale=None,
+    second_sample=None, hw_probes=None, deferrals=None,
+) -> None:
     all_lo = [d for p in pairs for d in p["N_draws"]]
     all_hi = [d for p in pairs for d in p["4N_draws"]]
     clean_est = _clean_est(pairs)
@@ -463,6 +550,8 @@ def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> No
             "all_4N": all_hi,
             "mor_ingest_4N": mor,
             "hw_own_scaling_this_run": hw,
+            "hw_gate_probes": hw_probes or [],
+            "window_gate_deferrals": deferrals or [],
             "rounds": len(pairs),
             "job_partitions": BENCH_JOB_PARTS,
             "methodology": (
@@ -501,17 +590,22 @@ def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> No
     }
     if dedup_scale is not None:
         detail["dedup_scale_curve"] = dedup_scale
+    if second_sample:
+        detail["second_sample"] = second_sample
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1)
 
     # Compact final line: everything the driver parses, under the 2000-
     # char tail capture (BENCH_r01/r02 both lost the line to truncation).
-    def compact(nd: int) -> str:
+    def compact(nd: int, with_second: bool = True, short_q: bool = False) -> str:
+        # short_q: qNN query keys (the prefix is unique by construction);
+        # BENCH_DETAIL.json always carries the full names.
+        qkey = (lambda k: k.split("_")[0]) if short_q else (lambda k: k)
         out = {
             "metric": "query suite total sec; CDC scaling under cdc",
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, nd) for k, v in {**queries, **overridden}.items()},
+            "queries": {qkey(k): round(v, nd) for k, v in {**queries, **overridden}.items()},
             "sf": sf_val,
             "cdc": {
                 "N_events_per_sec": low["events_per_sec"],
@@ -528,10 +622,18 @@ def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> No
                     if hw and "bandwidth_bound_floor" in hw
                     else None
                 ),
+                "window_gate_deferrals": len(deferrals or []),
                 "rounds": len(pairs),
             },
             "detail": "BENCH_DETAIL.json",
         }
+        if with_second and second_sample:
+            # qNN keys: full names + timings live in BENCH_DETAIL.json;
+            # the compact line only needs the warm re-time next to the
+            # first sample to self-identify window noise.
+            out["second_sample"] = {
+                k.split("_")[0]: round(v, nd) for k, v in second_sample.items()
+            }
         if dedup_scale is not None and not isinstance(dedup_scale, dict):
             out["dedup_scale"] = [
                 {
@@ -544,8 +646,12 @@ def _emit(queries, overridden, pairs, mor=None, hw=None, dedup_scale=None) -> No
         return json.dumps(out, separators=(",", ":"))
 
     line = compact(2)
-    if len(line) > 1900:  # degrade precision before risking tail clipping
+    if len(line) > 1880:  # degrade precision before risking tail clipping
         line = compact(1)
+    if len(line) > 1880:  # shorten query keys to qNN before dropping data
+        line = compact(1, short_q=True)
+    if len(line) > 1880:  # second_sample lives in BENCH_DETAIL.json too
+        line = compact(1, with_second=False, short_q=True)
     print(line, flush=True)
 
 
