@@ -1,0 +1,201 @@
+"""Bloom secondary index (lake/bloom.py): build-on-commit, file skipping
+for conv_id-only probes, lifecycle under merge/compaction/expiry, and the
+absent-means-scan correctness guarantee."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tpc_di_spark.lake import LakeTable
+from tpc_di_spark.lake import bloom as bl
+
+SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("text", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+
+def mkrows(spark, convs, turns, text="v1"):
+    return spark.createDataFrame(
+        [
+            (f"conv-{c:04d}", t, f"{text} c{c} t{t}", dt.datetime(2024, 1, 1, 0, 0, 0))
+            for c in convs
+            for t in range(turns)
+        ],
+        SCHEMA,
+    )
+
+
+def make_table(spark, path, **props):
+    return LakeTable.create(
+        spark,
+        str(path),
+        SCHEMA,
+        num_buckets=8,
+        properties={bl.PROP_COLUMN: "conv_id", **props},
+    )
+
+
+def test_sidecar_built_per_commit_and_carried(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    t.append(mkrows(spark, range(0, 10), 4))
+    assert len(t.snapshot.bloom_index) == 1
+    covered = set(t.snapshot.bloom_index[0]["files"])
+    assert covered == {r for fl in t.snapshot.files.values() for r in fl}
+    t.append(mkrows(spark, range(10, 20), 4))
+    assert len(t.snapshot.bloom_index) == 2  # old entry carried forward
+
+
+def test_lookup_by_prunes_files_and_is_exact(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    # Many commits => many files; each conversation's rows land in a few.
+    for lo in range(0, 60, 10):
+        t.append(mkrows(spark, range(lo, lo + 10), 3))
+    total_files = sum(len(fl) for fl in t.snapshot.files.values())
+    got = t.lookup_by("conv_id", ["conv-0003", "conv-0042"]).collect()
+    assert sorted({r.conv_id for r in got}) == ["conv-0003", "conv-0042"]
+    assert len(got) == 6
+    st = t.last_lookup_stats
+    assert st["files_total"] == total_files
+    # 2 conversations live in at most 2 commits' buckets (+ false
+    # positives); the probe must skip most of the 6-commit file set.
+    assert st["files_scanned"] < total_files / 2
+
+
+def test_unindexed_table_full_scans_but_answers(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+    t.append(mkrows(spark, range(5), 2))
+    got = t.lookup_by("conv_id", ["conv-0001"]).collect()
+    assert len(got) == 2
+    assert t.last_lookup_stats["files_scanned"] == t.last_lookup_stats["files_total"]
+
+
+def test_probe_different_column_degrades_to_scan(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    t.append(mkrows(spark, range(5), 2))
+    got = t.lookup_by("text", ["v1 c2 t1"]).collect()
+    assert len(got) == 1
+    assert t.last_lookup_stats["files_scanned"] == t.last_lookup_stats["files_total"]
+
+
+def test_int_typed_probe_values_hash_correctly(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        num_buckets=4,
+        properties={bl.PROP_COLUMN: "turn_idx"},
+    )
+    t.append(mkrows(spark, range(6), 5))
+    got = t.lookup_by("turn_idx", [3]).collect()
+    assert len(got) == 6 and all(r.turn_idx == 3 for r in got)
+
+
+def test_compaction_rebuilds_and_drops_dead_entries(spark, tmp_path):
+    from tpc_di_spark.lake.maintenance import compact, expire_snapshots
+
+    t = make_table(spark, tmp_path / "t")
+    for lo in range(0, 30, 10):
+        t.append(mkrows(spark, range(lo, lo + 10), 2))
+    assert len(t.snapshot.bloom_index) == 3
+    compact(t, max_files_per_bucket=0)
+    # Replaced files' entries died; the compaction commit built one fresh
+    # sidecar covering the rewritten files.
+    live = {r for fl in t.snapshot.files.values() for r in fl}
+    assert {f for e in t.snapshot.bloom_index for f in e["files"]} >= live
+    got = t.lookup_by("conv_id", ["conv-0015"]).collect()
+    assert len(got) == 2
+    # Expiry sweeps sidecars only expired snapshots reference.
+    meta_before = [
+        n for n in t.fs.listdir(str(tmp_path / "t" / "_meta")) if n.startswith("bloom-")
+    ]
+    res = expire_snapshots(t, keep_last=1)
+    assert res["removed_blooms"] > 0
+    live_sidecars = {e["rel"] for e in t.snapshot.bloom_index}
+    remaining = [
+        n for n in t.fs.listdir(str(tmp_path / "t" / "_meta")) if n.startswith("bloom-")
+    ]
+    assert {f"_meta/{n}" for n in remaining} == live_sidecars
+    assert len(remaining) < len(meta_before)
+    # Probe still exact after expiry.
+    assert len(t.lookup_by("conv_id", ["conv-0015"]).collect()) == 2
+
+
+def test_cdc_merge_keeps_index_fresh(spark, tmp_path):
+    """Replaced buckets' filters die with their files; the merge commit
+    indexes its rewritten files, so post-merge probes see updated text."""
+    from tpc_di_spark.cdc.orchestrator import CdcOrchestrator, bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = bootstrap_table(
+        spark,
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA,
+        num_buckets=8,
+        properties={bl.PROP_COLUMN: "conv_id"},
+    )
+    orch = CdcOrchestrator(t, buckets_per_group=8)
+
+    from pyspark.sql.types import LongType
+    from tpc_di_spark.schemas import TRANSCRIPT_DATA_FIELDS
+
+    EV = StructType(
+        [
+            StructField("cdc_flag", StringType(), False),
+            StructField("cdc_dsn", LongType(), False),
+            *TRANSCRIPT_DATA_FIELDS,
+        ]
+    )
+
+    def ev(flag, conv, turn, text, s):
+        return (flag, s, conv, turn, "user", text, dt.datetime(2024, 1, 1, 0, 0, s % 60))
+
+    b1 = spark.createDataFrame(
+        [ev("I", f"conv-{c:03d}", t_, "orig", c * 10 + t_) for c in range(20) for t_ in range(3)],
+        EV,
+    )
+    orch.apply_batch(b1, batch_id=1)
+    b2 = spark.createDataFrame([ev("U", "conv-007", 1, "edited", 999)], EV)
+    orch.apply_batch(b2, batch_id=2)
+    live = t.lookup_by("conv_id", ["conv-007"]).filter(F.col("is_current")).collect()
+    assert sorted((r.turn_idx, r.text) for r in live) == [
+        (0, "orig"), (1, "edited"), (2, "orig"),
+    ]
+    assert t.last_lookup_stats["files_scanned"] < t.last_lookup_stats["files_total"]
+
+
+def test_rename_of_indexed_column_refused(spark, tmp_path):
+    # Index a NON-key column (key columns are already rename-protected).
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        num_buckets=4,
+        properties={bl.PROP_COLUMN: "text"},
+    )
+    t.append(mkrows(spark, range(3), 2))
+    with pytest.raises(ValueError, match="Bloom-indexed"):
+        t.rename_column("text", "body")
+
+
+def test_null_probe_refused_and_null_cells_skipped(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    rows = spark.createDataFrame(
+        [("x", 0, None, None), ("y", 1, "t", None)], SCHEMA
+    )
+    t.append(rows)
+    with pytest.raises(ValueError, match="NULL"):
+        t.lookup_by("conv_id", ["x", None])
+    assert len(t.lookup_by("conv_id", ["x"]).collect()) == 1

@@ -704,9 +704,12 @@ def bootstrap_table(
     schema: StructType,
     num_buckets: int = 16,
     fs=None,
+    properties: dict | None = None,
 ) -> LakeTable:
     """Create-if-absent (the reference's CREATE TABLE IF NOT EXISTS,
     `Historical/DimCustomer.py:521-563`, SURVEY S9)."""
     if LakeTable.exists(path, fs=fs):
         return LakeTable.load(spark, path, fs=fs)
-    return LakeTable.create(spark, path, schema, num_buckets=num_buckets, fs=fs)
+    return LakeTable.create(
+        spark, path, schema, num_buckets=num_buckets, fs=fs, properties=properties
+    )

@@ -1,0 +1,222 @@
+"""Per-file Bloom-filter secondary index — file skipping for NON-bucket-key
+probes (Iceberg's Puffin blob / DataSketches role, rebuilt on the snapshot
+log).
+
+Why it exists: the table salts rows by the FULL business key
+``(conv_id, turn_idx)`` so hot conversations spread over every bucket
+(lake/table.py, "Key-hash bucketing = salting"). That is the right write
+layout at 10^10 rows — but it means a ``conv_id``-only probe ("fetch all
+live turns of these conversations") cannot bucket-prune: every bucket may
+hold a turn. Before this module such probes were an O(table) scan; the
+reference pays the same cost as a Redshift full-column scan per
+conversation fetch (`Incremental1/IncrementalTrade.py` reads whole staging
+tables to locate keys). With it, each current-family data file carries a
+tiny Bloom filter over the indexed column, and a probe scans only the
+files whose filter *may* contain one of the probed values — at the design
+point a conversation's turns live in a handful of files out of ~10^5.
+
+Design:
+
+- **Build is one Spark pass over the batch's new files** (O(batch), not
+  O(table)): two JVM-side ``xxhash64`` columns per row, then a vectorized
+  ``applyInPandas`` per file group packs the bit array (numpy, no per-row
+  Python). Kirsch-Mitzenmacher double hashing derives the k probe
+  positions from the two hashes, so build and probe share one hash
+  definition — the probe side recomputes the same two hashes with a
+  |values|-row Spark job (the same trick ``LakeTable._keys_plan`` uses for
+  bucket ids: the engine never re-implements a JVM hash in Python).
+- **Storage is an immutable per-commit sidecar** (``_meta/bloom-*.json``,
+  one per commit that adds current-family files), NOT inline snapshot
+  state: at 10^5 files x 1 KiB the filters would bloat every snapshot
+  write. The snapshot lists ``{sidecar rel, covered file rels}`` pairs
+  (O(files) names, same order as the file map itself); commits carry
+  entries forward and drop an entry when none of its files are referenced
+  anymore (compaction/merge rewrote them — the rewrite's own commit builds
+  fresh filters for the new files).
+- **Absent means scan.** A file with no filter (pre-index commits, MoR
+  delta files, history family) is always scanned — the index is a pure
+  optimization, never a correctness gate; ``lookup_by`` re-applies the
+  ``isin`` predicate to whatever survives pruning.
+
+Opt-in via table property ``index.bloom.column`` (e.g. ``"conv_id"``);
+``index.bloom.nbits`` / ``index.bloom.k`` tune the filter (defaults 8192
+bits / 4 hashes: ~2% false positives at 1k distinct keys per file — size
+nbits ~8-10 bits per expected distinct key per file at scale).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+from typing import Sequence
+
+import numpy as np
+import pyspark.sql.functions as F
+
+PROP_COLUMN = "index.bloom.column"
+PROP_NBITS = "index.bloom.nbits"
+PROP_K = "index.bloom.k"
+
+# Second-hash seed column: xxhash64(v) vs xxhash64(v, SALT) are
+# independent enough for Kirsch-Mitzenmacher (two calls, different arity).
+_H2_SALT = 1042
+
+_DEFAULT_NBITS = 8192
+_DEFAULT_K = 4
+
+
+def _params(properties: dict) -> tuple[str | None, int, int]:
+    col = properties.get(PROP_COLUMN)
+    nbits = int(properties.get(PROP_NBITS, _DEFAULT_NBITS))
+    k = int(properties.get(PROP_K, _DEFAULT_K))
+    if nbits % 8:
+        raise ValueError(f"{PROP_NBITS} must be a multiple of 8, got {nbits}")
+    return col, nbits, k
+
+
+def _hash_cols(col: F.Column) -> list[F.Column]:
+    """The ONE hash definition build and probe share: two xxhash64 values
+    per indexed cell (JVM-side, whole-stage-codegen)."""
+    return [
+        F.xxhash64(col).alias("_h1"),
+        F.xxhash64(col, F.lit(_H2_SALT)).alias("_h2"),
+    ]
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    """k bit positions per value (Kirsch-Mitzenmacher: h1 + i*h2 mod m).
+    Python/numpy ``%`` on int64 matches Spark's pmod for our use because
+    both reduce the same int64 values into [0, nbits)."""
+    out = np.empty((k, h1.shape[0]), dtype=np.int64)
+    for i in range(k):
+        out[i] = (h1 + i * h2) % nbits
+    return out
+
+
+def build_sidecar(
+    table,
+    new_files_by_bucket: dict[str, list[str]],
+    properties: dict | None = None,
+    schema=None,
+) -> dict | None:
+    """Build the Bloom sidecar for a commit's new current-family files and
+    write it to ``_meta/``; returns the snapshot index entry
+    ``{"rel": sidecar_rel, "files": [...]}`` or None when the table has no
+    indexed column / the commit adds no files. ``properties``/``schema``
+    default to the handle's snapshot (commit passes the POST-commit
+    effective ones).
+
+    One Spark job over the new files only. Every new file gets an entry —
+    a file whose indexed column is entirely NULL gets an all-zero filter
+    (prunes every probe; ``isin`` never matches NULL anyway).
+    """
+    col, nbits, k = _params(
+        table.snapshot.properties if properties is None else properties
+    )
+    rels = sorted(rel for fl in new_files_by_bucket.values() for rel in fl)
+    if not col or not rels:
+        return None
+    fields = (schema or table.schema).fields
+    if col not in {f.name for f in fields}:
+        raise ValueError(f"{PROP_COLUMN}={col!r} is not a table column")
+
+    paths = [os.path.join(table.path, rel) for rel in rels]
+    df = (
+        table.read_files(paths)
+        .select(F.input_file_name().alias("_f"), *_hash_cols(F.col(col)))
+        .filter(F.col("_h1").isNotNull())
+    )
+
+    import pandas as pd
+
+    nbytes = nbits // 8
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(nbits, dtype=bool)
+        pos = _positions(
+            pdf["_h1"].to_numpy(np.int64), pdf["_h2"].to_numpy(np.int64), nbits, k
+        )
+        bits[pos.ravel()] = True
+        packed = np.packbits(bits)
+        return pd.DataFrame(
+            {"_f": [pdf["_f"].iloc[0]], "bits": [base64.b64encode(packed.tobytes()).decode()]}
+        )
+
+    built = {
+        r["_f"]: r["bits"]
+        for r in df.groupBy("_f").applyInPandas(fold, "_f string, bits string").collect()
+    }
+    # input_file_name() yields absolute URIs; key the sidecar by
+    # table-relative path (suffix match — rels are unique table-wide).
+    empty = base64.b64encode(bytes(nbytes)).decode()
+    files: dict[str, str] = {}
+    for rel in rels:
+        hit = next((v for uri, v in built.items() if uri.endswith(rel)), None)
+        files[rel] = hit if hit is not None else empty
+
+    sidecar = {"column": col, "nbits": nbits, "k": k, "files": files}
+    rel_out = os.path.join("_meta", f"bloom-{uuid.uuid4().hex[:12]}.json")
+    table.fs.write_text(os.path.join(table.path, rel_out), json.dumps(sidecar))
+    return {"rel": rel_out, "files": rels}
+
+
+class BloomProbe:
+    """Loaded-sidecar view of one snapshot's Bloom index, cached on the
+    table handle per snapshot id (sidecars are immutable)."""
+
+    def __init__(self, table, snapshot):
+        self.column: str | None = None
+        # rel -> (bits bytes, nbits, k)
+        self.filters: dict[str, tuple[bytes, int, int]] = {}
+        for entry in snapshot.bloom_index:
+            try:
+                raw = json.loads(
+                    table.fs.read_text(os.path.join(table.path, entry["rel"]))
+                )
+            except FileNotFoundError:
+                continue  # expired sidecar: its files read as unindexed
+            self.column = raw["column"]
+            for rel, b64 in raw["files"].items():
+                self.filters[rel] = (
+                    base64.b64decode(b64), int(raw["nbits"]), int(raw["k"])
+                )
+
+    def may_contain(self, rel: str, hashes: Sequence[tuple[int, int]]) -> bool:
+        """True when ``rel``'s filter may contain ANY of the hashed values
+        (or the file has no filter — unknown is always scanned)."""
+        ent = self.filters.get(rel)
+        if ent is None:
+            return True
+        bits, nbits, k = ent
+        arr = np.unpackbits(np.frombuffer(bits, dtype=np.uint8))
+        for h1, h2 in hashes:
+            pos = _positions(
+                np.array([h1], dtype=np.int64), np.array([h2], dtype=np.int64), nbits, k
+            )
+            if arr[pos.ravel()].all():
+                return True
+        return False
+
+
+def probe_hashes(spark, values: Sequence, dtype=None) -> list[tuple[int, int]]:
+    """The probe side of the shared hash definition: one |values|-row Spark
+    job computing (xxhash64(v), xxhash64(v, salt)) per probed value —
+    metadata-sized, same pattern as ``LakeTable._keys_plan``. ``dtype``
+    must be the indexed column's Spark type: xxhash64 is type-sensitive,
+    so probing an int64 column with int32 literals would miss every row.
+    """
+    if any(v is None for v in values):
+        raise ValueError("cannot probe NULL through the Bloom index")
+    if dtype is not None:
+        from pyspark.sql.types import StructField, StructType
+
+        df = spark.createDataFrame(
+            [(v,) for v in values], StructType([StructField("_v", dtype, True)])
+        )
+    else:
+        df = spark.createDataFrame([(v,) for v in values], ["_v"])
+    return [
+        (r["_h1"], r["_h2"]) for r in df.select(*_hash_cols(F.col("_v"))).collect()
+    ]

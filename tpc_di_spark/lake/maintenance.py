@@ -208,10 +208,31 @@ def expire_snapshots(
                 continue
             table.fs.remove(p)
             removed_manifests += 1
+
+    # Bloom sidecars (lake/bloom.py) referenced only by expired snapshots
+    # are orphans — same rule as history manifests (immutable, shared
+    # forward, staged WAP chains reference them too).
+    live_blooms: set[str] = set()
+    for sid in keep_ids:
+        live_blooms.update(
+            e["rel"]
+            for e in table.read_snapshot(sid, hydrate=False).bloom_index
+        )
+    live_blooms.update(_wap.live_branch_blooms(table))
+    removed_blooms = 0
+    for name in table.fs.listdir(meta):
+        if name.startswith("bloom-") and os.path.join("_meta", name) not in live_blooms:
+            p = os.path.join(meta, name)
+            if min_age_seconds > 0 and now - table.fs.mtime(p) < min_age_seconds:
+                skipped_young += 1
+                continue
+            table.fs.remove(p)
+            removed_blooms += 1
     return {
         "removed_files": removed_files,
         "removed_snapshots": removed_snaps,
         "removed_manifests": removed_manifests,
+        "removed_blooms": removed_blooms,
         "skipped_young_files": skipped_young,
     }
 

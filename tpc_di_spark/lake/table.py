@@ -67,6 +67,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType
 
+from tpc_di_spark.lake import bloom as _bloom
 from tpc_di_spark.lake.fs import CasConflict, LocalFS, TableFS
 
 _META = "_meta"
@@ -112,6 +113,12 @@ class Snapshot:
     # Table-relative paths of the immutable history manifests, oldest
     # first. Empty on legacy snapshots (their hist map is inline).
     hist_manifests: list[str] = field(default_factory=list)
+    # Bloom secondary index (lake/bloom.py): one entry per commit that
+    # built a sidecar — {"rel": sidecar path, "files": covered data-file
+    # rels}. The filters themselves live in the immutable sidecar files
+    # (snapshot body stays O(file names)); an entry is dropped when none
+    # of its files are referenced anymore.
+    bloom_index: list = field(default_factory=list)
 
     @property
     def schema(self) -> StructType:
@@ -140,6 +147,7 @@ class Snapshot:
             "hist_files": hist_inline,
             "file_stats": stats_inline,
             "hist_manifests": self.hist_manifests,
+            "bloom_index": self.bloom_index,
             "committed_batches": self.committed_batches,
             "summary": self.summary,
             "properties": self.properties,
@@ -161,6 +169,7 @@ class Snapshot:
             hist_files={k: list(v) for k, v in d.get("hist_files", {}).items()},
             file_stats=dict(d.get("file_stats", {})),
             hist_manifests=list(d.get("hist_manifests", [])),
+            bloom_index=list(d.get("bloom_index", [])),
         )
 
 
@@ -666,6 +675,63 @@ class LakeTable:
             lambda df: df.join(broadcast(key_df), on=cols, how="left_semi")
         )
 
+    def lookup_by(
+        self,
+        col: str,
+        values: Sequence,
+        family: str = "current",
+        snapshot: Snapshot | None = None,
+    ) -> DataFrame:
+        """SECONDARY-index point lookup: fetch rows matching ``col IN
+        values`` scanning only the files whose Bloom filter may contain
+        one of the values (lake/bloom.py). The complement of ``lookup``:
+        full-key probes bucket-prune; a ``conv_id``-only probe ("all live
+        turns of these conversations") cannot — the full-key salting that
+        spreads hot conversations across buckets guarantees it — so it
+        file-prunes through the per-file filters instead. At the design
+        point a conversation's turns live in a handful of files out of
+        ~10^5; unindexed tables (or probes on a different column) degrade
+        to a plain scan + filter, never a wrong answer. Files without a
+        filter entry (pre-index commits, history family) are always
+        scanned. Prune effectiveness of the last call is recorded in
+        ``self.last_lookup_stats`` (pytest / PLANS.md evidence).
+        """
+        snap = snapshot or self.snapshot
+        values = [values] if isinstance(values, (str, bytes, int)) else list(values)
+        if not values:
+            return self.spark.createDataFrame([], snap.schema)
+        if family not in ("all", "current", "history"):
+            raise ValueError(f"unknown file family {family!r}")
+        maps = []
+        if family in ("all", "current"):
+            maps.append(snap.files)
+        if family in ("all", "history"):
+            maps.append(snap.hist_files)
+        rels = [rel for fmap in maps for _b, rel in self._bucket_file_pairs(fmap, None)]
+        probe = self._bloom_probe(snap)
+        dtype = next((f.dataType for f in snap.schema.fields if f.name == col), None)
+        if dtype is None:
+            raise ValueError(f"no such column {col!r}")
+        if probe.column == col and probe.filters:
+            hashes = _bloom.probe_hashes(self.spark, values, dtype)
+            keep = [rel for rel in rels if probe.may_contain(rel, hashes)]
+        else:
+            keep = rels
+        self.last_lookup_stats = {"files_total": len(rels), "files_scanned": len(keep)}
+        df = self.read_files(
+            [os.path.join(self.path, r) for r in keep], snapshot=snap
+        )
+        return df.filter(F.col(col).isin(values))
+
+    def _bloom_probe(self, snap: Snapshot) -> "_bloom.BloomProbe":
+        """Per-snapshot cache of the loaded Bloom sidecars (immutable)."""
+        cached = getattr(self, "_bloom_cache", None)
+        if cached and cached[0] == snap.snapshot_id:
+            return cached[1]
+        probe = _bloom.BloomProbe(self, snap)
+        self._bloom_cache = (snap.snapshot_id, probe)
+        return probe
+
     # ---------------------------------------------------------------- writes
     def _bucket_clustered(
         self, df_with_bucket: DataFrame, assume_bucket_partitioned: bool
@@ -918,6 +984,28 @@ class LakeTable:
             if rel in referenced and v is not None
         }
 
+        # ---- Bloom secondary index (lake/bloom.py): entries whose files
+        # were all replaced die with them; a commit adding current-family
+        # files on an indexed table builds one fresh sidecar (one Spark
+        # job over the new files — O(batch)). Built BEFORE the CAS flip so
+        # a published snapshot always has filters for its own files; a
+        # conflict-retried commit rebuilds (rare, and sidecars are
+        # immutable + uniquely named, so a loser's sidecar is just an
+        # expire-swept orphan).
+        eff_props = parent.properties if new_properties is None else new_properties
+        bloom_index = [
+            e for e in parent.bloom_index if any(r in referenced for r in e["files"])
+        ]
+        if eff_props.get(_bloom.PROP_COLUMN) and new_files_by_bucket:
+            entry = _bloom.build_sidecar(
+                self,
+                new_files_by_bucket,
+                properties=eff_props,
+                schema=(new_schema or parent.schema),
+            )
+            if entry:
+                bloom_index.append(entry)
+
         # ---- history manifests (Snapshot.hist_files docstring): the
         # on-disk form of the append-only history family. Normal commits
         # write ONE immutable delta manifest (this batch's closed files +
@@ -964,6 +1052,7 @@ class LakeTable:
             summary={**(summary or {}), "batch_id": batch_id},
             properties=parent.properties if new_properties is None else new_properties,
             hist_manifests=manifests,
+            bloom_index=bloom_index,
         )
         self._flip_version(snap, expected_parent=parent.snapshot_id)
         self.snapshot = snap
@@ -1065,6 +1154,12 @@ class LakeTable:
                 f"may not {op} a column while merge-on-read delta batches "
                 "are pending: delta files carry the current logical names "
                 "and would misread after the change — compact first"
+            )
+        if name == self.snapshot.properties.get(_bloom.PROP_COLUMN):
+            raise ValueError(
+                f"may not {op} the Bloom-indexed column {name!r}: existing "
+                "sidecars are keyed on it — unset the "
+                f"{_bloom.PROP_COLUMN!r} property first"
             )
 
     def rename_column(

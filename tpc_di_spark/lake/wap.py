@@ -339,6 +339,21 @@ def live_branch_manifests(table: LakeTable) -> set[str]:
     return out
 
 
+def live_branch_blooms(table: LakeTable) -> set[str]:
+    """Table-relative Bloom sidecar paths referenced by staged branch
+    chains (staged commits on indexed tables build sidecars into the
+    shared _meta namespace; expiry must keep them until publish/abort)."""
+    out: set[str] = set()
+    for name, ref in list_branches(table).items():
+        handle = _BranchTable(table.spark, table.path, table.snapshot, table.fs, name)
+        for sid in range(ref["fork_id"] + 1, ref["head_id"] + 1):
+            out.update(
+                e["rel"]
+                for e in handle.read_snapshot(sid, hydrate=False).bloom_index
+            )
+    return out
+
+
 def live_branch_files(table: LakeTable) -> set[str]:
     """Table-relative data files referenced by any staged branch chain —
     expire_snapshots must not treat these as orphans."""
