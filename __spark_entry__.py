@@ -2993,6 +2993,128 @@ LEFT JOIN lastv lv USING (role)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q59 — Bloom-indexed secondary lookup (lake/bloom.py + LakeTable.
+# lookup_by): full-key bucketing spreads a conversation's turns across
+# every bucket (the salting that makes hot conversations scale), so a
+# conv_id-only probe cannot bucket-prune; the per-file Bloom sidecars
+# built at commit time prune the file set instead. Two-batch replay on an
+# indexed table (the second commit replaces files, exercising sidecar
+# carry-forward + rebuild), then a mixed present/absent probe list. The
+# oracle recomputes the serial-replay live state filtered to the probed
+# conversations — any filter false-negative (a wrongly pruned file) drops
+# rows and goes hash-red.
+# ---------------------------------------------------------------------------
+
+_Q59_PROBE = ["conv-000007", "conv-000123", "conv-000321", "conv-777777"]
+
+
+def q59_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 2 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q59_")
+    table = bootstrap_table(
+        spark,
+        os.path.join(table_dir, "transcripts"),
+        TRANSCRIPT_SCHEMA,
+        num_buckets=16,
+        properties={"index.bloom.column": "conv_id"},
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    for b in (1, 2):
+        orch.apply_batch(ev.filter(F.col("_b") == b).drop("_b"), batch_id=b)
+    return table.lookup_by("conv_id", _Q59_PROBE).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
+_Q59_IN = ", ".join(f"'{c}'" for c in _Q59_PROBE)
+
+Q59_SQL = f"""
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 2 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT * FROM w WHERE rn = 1),
+lastb AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY b DESC) rb
+          FROM winners)
+SELECT conv_id, turn_idx, role, text, ts
+FROM lastb
+WHERE rb = 1 AND cdc_flag <> 'D' AND conv_id IN ({_Q59_IN})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q60 — out-of-order tail repair (CdcOrchestrator.apply_late_batch): a
+# MISSED batch redelivered after higher-numbered batches committed. The
+# three-way split of the event stream applies as 1, 3, then late-2; the
+# supersession anti-join (keys changed by batches > 2 drop — created OR
+# closed, tombstones included — the rest merge normally) must make the
+# final current state identical to serial 1,2,3 replay. The oracle IS the
+# serial replay: per-(key, batch) LWW winner, then the highest batch per
+# key wins, deletes excluded. Any clobber of a batch-3 row or
+# resurrection of a batch-3 delete by the late batch goes hash-red.
+# ---------------------------------------------------------------------------
+
+def q60_late_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 3 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q60_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    batch = lambda b: ev.filter(F.col("_b") == b).drop("_b")  # noqa: E731
+    orch.apply_batch(batch(1), batch_id=1)
+    orch.apply_batch(batch(3), batch_id=3)  # batch 2 went missing
+    orch.apply_late_batch(batch(2), batch_id=2)
+    return current_state(table).select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+Q60_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 3 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT * FROM w WHERE rn = 1),
+lastb AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY b DESC) rb
+          FROM winners)
+SELECT conv_id, turn_idx, role, text, ts
+FROM lastb
+WHERE rb = 1 AND cdc_flag <> 'D'
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -3067,6 +3189,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_tpcdi_multitable_replay": q56_tpcdi_multitable_replay,
     "q57_ivf_index_sync": q57_ivf_index_sync,
     "q58_incremental_view_extended": q58_incremental_view_extended,
+    "q59_bloom_lookup": q59_bloom_lookup,
+    "q60_late_batch_replay": q60_late_batch_replay,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3132,6 +3256,8 @@ _ORACLES: dict[str, str] = {
     "q56_tpcdi_multitable_replay": Q56_SQL,
     "q57_ivf_index_sync": Q57_SQL,
     "q58_incremental_view_extended": Q58_SQL,
+    "q59_bloom_lookup": Q59_SQL,
+    "q60_late_batch_replay": Q60_SQL,
 }
 
 

@@ -624,6 +624,111 @@ class CdcOrchestrator:
         self._emit_status(record)
         return record
 
+    def apply_late_batch(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        quarantine_dir: str | None = None,
+        retries: int = 2,
+    ) -> dict:
+        """Apply a MISSED batch that arrives after higher-numbered batches
+        already committed — out-of-order tail repair (a redelivered WAL
+        segment, a stalled connector partition catching up).
+
+        The engine's cross-batch logical order is batch-id-first
+        (``apply_batch`` expires whatever is current), so pushing a late
+        batch through the normal path would clobber newer rows and
+        resurrect newer deletes. Instead the late batch is applied under
+        the supersession rule that makes the FINAL CURRENT STATE
+        independent of arrival order:
+
+        - events whose key was changed by ANY batch with id > this one
+          (``changed_keys_since(table, batch_id)`` — created or closed,
+          tombstones included, so newer deletes are honored) are
+          **superseded**: dropped from the merge, counted, and optionally
+          written to ``quarantine_dir/batch-NNNNNN`` for audit;
+        - the remainder merges through the normal exactly-once apply
+          (its keys were last touched by batches < this one, so batch-id
+          order and arrival order agree for them).
+
+        Equivalence: serial replay 1..N gives each key the LWW winner of
+        the highest batch touching it; the anti-join reproduces exactly
+        that partition of the late batch's keys. SCD2 *history* records
+        arrival order (the missed batch's versions splice in at apply
+        time, marked by their own batch id); the current family matches
+        serial replay row-for-row. Cross-batch ``ts`` ties inside one key
+        resolve to the higher batch id, same as serial replay.
+
+        Cost: one file-skipped scan of the keys changed since this batch
+        id (O(changed), the q47 changelog path) + one O(batch) broadcast-
+        or-shuffle anti-join, on top of the normal merge. Late repair is
+        an exception path, not steady state. Same MoR-delta guard as the
+        snapshot handover: pending deltas hide touched keys from
+        ``changed_keys_since``, so compaction must run first.
+        """
+        from tpc_di_spark.lake.table import CommitConflict
+
+        t0 = time.monotonic()
+        if batch_id <= 0:
+            raise ValueError(f"batch_id must be >= 1, got {batch_id}")
+        self.table.refresh()
+        if self.table.is_batch_committed(batch_id):
+            return {"batch_id": batch_id, "skipped": "already-committed"}
+        from tpc_di_spark.cdc.mor import pending_delta_batches
+        from tpc_di_spark.lake.changelog import changed_keys_since
+
+        if pending_delta_batches(self.table):
+            raise ValueError(
+                "pending MoR delta batches exist — compact them before "
+                "applying a late batch (their touched keys are not yet "
+                "visible to changed_keys_since)"
+            )
+        self._maybe_evolve(events, batch_id)
+        events = align_events(events, self.table)
+        key = list(self.table.key_cols)
+        touched = changed_keys_since(self.table, batch_id).select(*key)
+        marked = events.join(
+            touched.withColumn("_superseded", F.lit(True)), on=key, how="left"
+        )
+        marked.persist()
+        try:
+            stale = marked.filter(F.col("_superseded")).drop("_superseded")
+            n_stale = stale.count()
+            if quarantine_dir and n_stale:
+                stale.write.mode("overwrite").parquet(
+                    os.path.join(quarantine_dir, f"batch-{batch_id:06d}")
+                )
+            fresh = marked.filter(F.col("_superseded").isNull()).drop("_superseded")
+            try:
+                record = self.apply_batch(fresh, batch_id, retries=0)
+            except CommitConflict:
+                # A concurrent commit landed between our changed-keys read
+                # and the merge CAS: the supersession set itself is stale
+                # (the new batch may outrank this one), so the WHOLE late
+                # apply recomputes, not just the merge.
+                if retries <= 0:
+                    raise
+                marked.unpersist(blocking=False)
+                staging = self._staging_dir(batch_id)
+                if self.table.fs.exists(staging):
+                    self.table.fs.rmtree(staging)
+                self.table.refresh()
+                return self.apply_late_batch(
+                    events, batch_id, quarantine_dir, retries=retries - 1
+                )
+        finally:
+            marked.unpersist(blocking=False)
+        if record.get("skipped"):
+            return record
+        record = {
+            **record,
+            "late_apply": True,
+            "events_dropped_superseded": n_stale,
+            "secs": round(time.monotonic() - t0, 3),
+        }
+        self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
+        return record
+
     def _emit_status(self, record: dict) -> None:
         if self.messages_log is None:
             return
