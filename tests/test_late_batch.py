@@ -109,6 +109,87 @@ def test_late_batch_exactly_once_and_newest_noop(spark, tmp_path):
     assert orch.apply_late_batch(batches[1], 2)["skipped"] == "already-committed"
 
 
+def test_incremental_view_exact_across_late_batch(spark, tmp_path):
+    """A late batch commits BELOW the view's watermark; the set-aware
+    checkpoint must pick it up per-batch instead of skipping it forever
+    (the silent-divergence hole a max-only watermark has)."""
+    from tpc_di_spark.lake.incremental_view import IncrementalView
+
+    batches = gen_batches(spark)
+    table = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(table, buckets_per_group=4)
+    view = IncrementalView(
+        table,
+        str(tmp_path / "v"),
+        ["role"],
+        [
+            ("count_live", None, "live_turns"),
+            ("count_versions", None, "versions_created"),
+            ("count_closed", None, "versions_closed"),
+        ],
+    )
+
+    def recompute():
+        return {
+            r.role: (r.live, r.created, r.closed)
+            for r in table.read()
+            .groupBy("role")
+            .agg(
+                F.sum(F.col("is_current").cast("long")).alias("live"),
+                F.count(F.lit(1)).alias("created"),
+                F.sum((~F.col("is_current")).cast("long")).alias("closed"),
+            )
+            .collect()
+        }
+
+    def viewed():
+        return {
+            r.role: (r.live_turns, r.versions_created, r.versions_closed)
+            for r in view.refresh().collect()
+        }
+
+    orch.apply_batch(batches[0], 1)
+    orch.apply_batch(batches[2], 3)  # batch 2 missing
+    assert viewed() == recompute()
+    orch.apply_late_batch(batches[1], 2)
+    assert viewed() == recompute()  # late id consumed, not skipped
+    import json as _json
+
+    ck = _json.loads(table.fs.read_text(str(tmp_path / "v" / "_ckpt.json")))
+    assert ck["consumed"] == [1, 2, 3]
+    # Steady state afterwards: the next batch consumes contiguously.
+    orch.apply_batch(batches[3], 4)
+    assert viewed() == recompute()
+
+
+def test_derived_sync_exact_across_late_batch(spark, tmp_path):
+    from tpc_di_spark.cdc import current_state as cs
+    from tpc_di_spark.lake.derived import DerivedTableSync
+
+    batches = gen_batches(spark)
+    parent = bootstrap_table(spark, str(tmp_path / "p"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    child = bootstrap_table(spark, str(tmp_path / "c"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    po = CdcOrchestrator(parent, buckets_per_group=4)
+    sync = DerivedTableSync(parent, child, str(tmp_path / "s"))
+
+    def rows(t):
+        return {
+            (r.conv_id, r.turn_idx, r.role, r.text)
+            for r in cs(t).select("conv_id", "turn_idx", "role", "text").collect()
+        }
+
+    po.apply_batch(batches[0], 1)
+    po.apply_batch(batches[2], 3)
+    sync.refresh()
+    po.apply_late_batch(batches[1], 2)
+    rec = sync.refresh()
+    assert rec["consumed_batches"] == [2]
+    assert rows(child) == rows(parent)
+    po.apply_batch(batches[3], 4)
+    sync.refresh()
+    assert rows(child) == rows(parent)
+
+
 def test_late_batch_refuses_pending_mor_deltas(spark, tmp_path):
     from tpc_di_spark.cdc.mor import apply_batch_mor
 

@@ -55,6 +55,7 @@ from tpc_di_spark.cdc.orchestrator import CdcOrchestrator
 from tpc_di_spark.lake.changelog import (
     rows_closed_in,
     rows_closed_since,
+    rows_created_in,
     rows_created_since,
 )
 from tpc_di_spark.lake.table import LakeTable
@@ -124,10 +125,17 @@ class DerivedTableSync:
     def _payload_cols(self, snap) -> list[str]:
         return [f.name for f in snap.schema.fields if f.name not in LINEAGE_COLS]
 
-    def _ckpt_payload(self, upto: int, snap, ck: dict | None) -> dict:
+    def _ckpt_payload(
+        self, upto: int, snap, ck: dict | None, consumed: list[int] | None = None
+    ) -> dict:
         """Checkpoint body — subclasses extend (e.g. IvfIndexSync's
-        cumulative drift counter rides the same atomic flip)."""
-        return {"batch_id": upto, "snapshot_id": snap.snapshot_id}
+        cumulative drift counter rides the same atomic flip). ``consumed``
+        is the full consumed-id SET after this refresh (late-batch
+        awareness, ``incremental_view.consumed_batch_set``)."""
+        out = {"batch_id": upto, "snapshot_id": snap.snapshot_id}
+        if consumed is not None:
+            out["consumed"] = sorted(consumed)
+        return out
 
     def _upsert_events(self, matched: DataFrame, payload: list[str]) -> DataFrame:
         """Map the range's live, filter-passing row versions to child 'I'
@@ -152,33 +160,54 @@ class DerivedTableSync:
         record. No-op when nothing new is committed."""
         self.parent.refresh()
         snap = self.parent.snapshot
+        committed = sorted(snap.committed_batches)
         ck = self._load_ckpt()
-        last = ck["batch_id"] if ck else 0
 
         from tpc_di_spark.cdc.mor import pending_delta_batches
-        from tpc_di_spark.lake.incremental_view import needs_per_batch_fallback
+        from tpc_di_spark.lake.incremental_view import (
+            consumed_batch_set,
+            needs_per_batch_fallback,
+        )
 
+        consumed = consumed_batch_set(ck, committed)
+        last = max(consumed) if consumed else 0
         pending_mor = [d["batch_id"] for d in pending_delta_batches(self.parent)]
         horizon = min(pending_mor) if pending_mor else None
         pending = [
             b
-            for b in sorted(snap.committed_batches)
-            if b > last and (horizon is None or b < horizon)
+            for b in committed
+            if b not in consumed and (horizon is None or b < horizon)
         ]
         if not pending:
             return {"skipped": "up-to-date", "batch_id": last}
         upto = pending[-1]
+        # Late-repair ids below the watermark (apply_late_batch) make the
+        # pending set non-contiguous: range reads would re-consume folded
+        # batches, so read exactly the pending ids per batch. Key safety:
+        # a late parent batch only creates/closes rows for keys NO higher
+        # batch touched (its supersession rule), so the child events from
+        # a late refresh never collide with child rows written by
+        # higher-numbered refreshes — the normal child apply is exact.
+        contiguous = not consumed or pending[0] > last
 
         keys = list(self.parent.key_cols)
         payload = self._payload_cols(snap)
 
-        created = rows_created_since(self.parent, last, snap, upto_batch_id=upto)
+        if contiguous:
+            created = rows_created_since(
+                self.parent, last, snap, upto_batch_id=upto
+            )
+        else:
+            created = None
+            for b in pending:
+                part = rows_created_in(self.parent, b, snap)
+                created = part if created is None else created.unionByName(part)
         # Exactness guard shared with IncrementalView: compaction erases
         # closing tags, so fall back to per-batch time-travel closes. The
         # delete set MUST be exact — an over-approximated close would
         # emit a spurious child delete for a live, untouched parent key.
         needs_fallback = needs_per_batch_fallback(self.parent, ck)
-        if needs_fallback:
+        if needs_fallback or not contiguous:
             closed = None
             for b in pending:
                 part = rows_closed_in(self.parent, b, snap)
@@ -234,7 +263,9 @@ class DerivedTableSync:
         # re-derives the same events and no-ops; the checkpoint flips
         # only after the apply committed.
         rec = self.orch.apply_batch(events, batch_id=upto)
-        new_ck = json.dumps(self._ckpt_payload(upto, snap, ck))
+        new_ck = json.dumps(
+            self._ckpt_payload(upto, snap, ck, consumed=consumed | set(pending))
+        )
         if ck is None and not self.fs.exists(self._ckpt_path()):
             self.fs.write_text(self._ckpt_path(), new_ck)
         else:

@@ -75,6 +75,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 from tpc_di_spark.lake.changelog import (
     rows_closed_in,
     rows_closed_since,
+    rows_created_in,
     rows_created_since,
 )
 from tpc_di_spark.lake.table import LakeTable
@@ -120,6 +121,24 @@ def needs_per_batch_fallback(table: LakeTable, ck: dict | None) -> bool:
         and h["summary"].get("operation") in ("compact", "rebucket")
         for h in hist
     )
+
+
+def consumed_batch_set(ck: dict | None, committed: list[int]) -> set[int]:
+    """The batch ids this consumer has already folded into its state.
+
+    Checkpoints record the explicit SET, not just the max: out-of-order
+    tail repair (``CdcOrchestrator.apply_late_batch``) can commit a batch
+    id BELOW a consumer's watermark, and a max-only checkpoint would skip
+    it forever — silent divergence from recompute. Legacy max-only
+    checkpoints reconstruct the set as every committed id at-or-below the
+    recorded max (exact unless a late batch landed before the first
+    refresh under set-aware code). Shared by every changelog consumer
+    (:class:`IncrementalView`, ``lake/derived.DerivedTableSync``)."""
+    if ck is None:
+        return set()
+    if "consumed" in ck:
+        return set(ck["consumed"])
+    return {b for b in committed if b <= ck["batch_id"]}
 
 
 class IncrementalView:
@@ -464,7 +483,8 @@ class IncrementalView:
         snap = self.table.snapshot
         committed = sorted(snap.committed_batches)
         ck = self._load_ckpt()
-        last_batch = ck["batch_id"] if ck else 0
+        consumed = consumed_batch_set(ck, committed)
+        last_batch = max(consumed) if consumed else 0
 
         # MATERIALIZATION HORIZON: consume only below the oldest pending
         # merge-on-read delta batch (its rows are invisible to the
@@ -475,11 +495,19 @@ class IncrementalView:
         pending_mor = [d["batch_id"] for d in pending_delta_batches(self.table)]
         horizon = min(pending_mor) if pending_mor else None
         pending = [
-            b for b in committed if b > last_batch and (horizon is None or b < horizon)
+            b
+            for b in committed
+            if b not in consumed and (horizon is None or b < horizon)
         ]
         if not pending:
             return self.state()
         upto = pending[-1]
+        # A LATE id below the watermark (apply_late_batch) makes the
+        # pending set non-contiguous with the consumed one: the fast
+        # (last, upto] range reads would re-consume already-folded
+        # batches (double-counting deltas), so fall to exact per-batch
+        # reads of exactly the pending ids.
+        contiguous = not consumed or pending[0] > last_batch
 
         live_provider = None
         if any(k in _LIVE_EXTREMES for k, _e, _n in self.aggs):
@@ -489,8 +517,11 @@ class IncrementalView:
             # interleaving where the current family runs ahead of the
             # consumable changelog). Refuse loudly — the alternative is
             # a silently drifting extreme.
+            consumed_after = consumed | set(pending)
             beyond = [
-                b for b in committed if b > upto and b not in pending_mor
+                b
+                for b in committed
+                if b not in consumed_after and b not in pending_mor
             ]
             if beyond:
                 raise ValueError(
@@ -503,8 +534,16 @@ class IncrementalView:
                 self.table.read(family="current").filter(F.col("is_current"))
             )
 
-        created = rows_created_since(self.table, last_batch, snap, upto_batch_id=upto)
-        if self._needs_per_batch_fallback(ck):
+        if contiguous:
+            created = rows_created_since(
+                self.table, last_batch, snap, upto_batch_id=upto
+            )
+        else:
+            created = None
+            for b in pending:
+                part = rows_created_in(self.table, b, snap)
+                created = part if created is None else created.unionByName(part)
+        if self._needs_per_batch_fallback(ck) or not contiguous:
             closed = None
             for b in pending:
                 part = rows_closed_in(self.table, b, snap)
@@ -519,7 +558,12 @@ class IncrementalView:
             "overwrite"
         ).parquet(os.path.join(self.state_dir, state_rel))
         new_ck = json.dumps(
-            {"batch_id": upto, "snapshot_id": snap.snapshot_id, "state_rel": state_rel}
+            {
+                "batch_id": upto,
+                "snapshot_id": snap.snapshot_id,
+                "state_rel": state_rel,
+                "consumed": sorted(consumed | set(pending)),
+            }
         )
         if ck is None and not self.fs.exists(self._ckpt_path()):
             self.fs.write_text(self._ckpt_path(), new_ck)

@@ -146,12 +146,14 @@ class IvfIndexSync(DerivedTableSync):
             F.col("ts"),
         )
 
-    def _ckpt_payload(self, upto: int, snap, ck: dict | None) -> dict:
+    def _ckpt_payload(
+        self, upto: int, snap, ck: dict | None, consumed: list[int] | None = None
+    ) -> dict:
         moved = (ck or {}).get("moved_since_retrain", 0)
         if self._pending_stats:
             moved += self._pending_stats["reassigned"]
         return {
-            **super()._ckpt_payload(upto, snap, ck),
+            **super()._ckpt_payload(upto, snap, ck, consumed=consumed),
             "moved_since_retrain": moved,
         }
 
