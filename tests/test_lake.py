@@ -102,6 +102,23 @@ def test_time_travel(spark, tmp_path):
     assert [h["snapshot_id"] for h in t.history()] == [0, 1, 2]
 
 
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    import time as _time
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+    t.append(mkrows(spark, 30))
+    between = _time.time()
+    _time.sleep(0.05)
+    t.append(mkrows(spark, 20, text="later"))
+    # as-of between the commits resolves to the first append's snapshot
+    snap = t.snapshot_as_of(between)
+    assert t.read(snapshot=snap).count() == 30
+    # as-of now resolves to the head; as-of before creation raises
+    assert t.read(snapshot=t.snapshot_as_of(_time.time())).count() == 50
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        t.snapshot_as_of(between - 3600)
+
+
 def test_exactly_once_batch_guard(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
     t.append(mkrows(spark, 10), batch_id=7)

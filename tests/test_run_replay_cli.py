@@ -66,6 +66,70 @@ def test_cli_mor_mode_with_compaction(tmp_path):
     assert "compact-delta" in ops
 
 
+def test_cli_late_events_out_of_order_repair(spark, tmp_path):
+    """--late-events applies a missed batch after newer ones: the final
+    state must equal a serial replay of the same files, with superseded
+    events counted (and the flag refused under --mode mor)."""
+    from tpc_di_spark.cdc.generator import historical_batch, incremental_batch
+
+    ev_dir = tmp_path / "ev"
+    batches = [
+        (1, historical_batch(spark, 100, 6, batch_id=1)),
+        (2, incremental_batch(spark, 2, 800, 100, 6, skew=0.5)),
+        (3, incremental_batch(spark, 3, 800, 100, 6, skew=0.5)),
+    ]
+    for bid, df in batches:
+        df.write.mode("overwrite").parquet(str(ev_dir / f"b{bid}"))
+    ev = lambda b: f"{b}={ev_dir / f'b{b}'}"  # noqa: E731
+
+    serial = _submit(
+        ["--table-dir", str(tmp_path / "serial"),
+         "--events", ev(1), ev(2), ev(3),
+         "--num-buckets", "8", "--buckets-per-group", "8", "--cores", "4"],
+        tmp_path,
+    )
+    ooo = _submit(
+        ["--table-dir", str(tmp_path / "ooo"),
+         "--events", ev(1), ev(3), "--late-events", ev(2),
+         "--quarantine-dir", str(tmp_path / "q"),
+         "--num-buckets", "8", "--buckets-per-group", "8", "--cores", "4"],
+        tmp_path,
+    )
+    late = [r for r in ooo if r.get("late_apply")]
+    assert len(late) == 1 and late[0]["batch_id"] == 2
+    assert late[0]["events_dropped_superseded"] > 0
+    assert os.path.isdir(str(tmp_path / "q" / "batch-000002"))
+    # CURRENT state equal row-for-row (full lineage legitimately differs:
+    # superseded late events never create the versions serial replay
+    # closes).
+    from tpc_di_spark.cdc import current_state
+    from tpc_di_spark.lake import LakeTable
+
+    def live(d):
+        t = LakeTable.load(spark, str(d))
+        return {
+            (r.conv_id, r.turn_idx, r.role, r.text)
+            for r in current_state(t)
+            .select("conv_id", "turn_idx", "role", "text")
+            .collect()
+        }
+
+    assert live(tmp_path / "ooo") == live(tmp_path / "serial")
+
+    # --late-events under MoR mode is an upfront argparse error.
+    bad = subprocess.run(
+        [shutil.which("spark-submit") or "spark-submit", "--master", "local[4]",
+         "--py-files", str(tmp_path / "pkg.zip"),
+         os.path.join(REPO, "tpc_di_spark", "run_replay.py"),
+         "--table-dir", str(tmp_path / "x"), "--mode", "mor",
+         "--late-events", ev(2)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert bad.returncode != 0
+    # spark-submit may fold the python process's stderr into either stream
+    assert "--late-events requires --mode cow" in (bad.stderr + bad.stdout)
+
+
 def test_cli_wap_demo_replay(tmp_path):
     """--wap stages each demo batch on a branch, audits, and publishes:
     all three batches land, audits are recorded in the per-batch output,

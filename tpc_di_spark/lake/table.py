@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Iterable, Sequence
@@ -231,7 +232,7 @@ class LakeTable:
             bucket_cols=list(bucket_cols or key_cols),
             files={},
             committed_batches=[],
-            summary={"operation": "create"},
+            summary={"operation": "create", "committed_at": round(time.time(), 3)},
             properties=props,
         )
         snap_name = cls._snap_name(0)
@@ -313,6 +314,32 @@ class LakeTable:
             )
         )
         return self._hydrate(snap, self.path, self.fs) if hydrate else snap
+
+    def snapshot_as_of(self, ts: float) -> Snapshot:
+        """AS-OF-TIMESTAMP time travel (Iceberg `FOR TIMESTAMP AS OF`):
+        the newest snapshot whose commit wall clock (``summary.
+        committed_at``, stamped by create/commit) is <= ``ts`` (epoch
+        seconds). Use as ``table.read(snapshot=table.snapshot_as_of(t))``.
+        Walks the metadata-only parent chain newest-first; raises if
+        every on-disk snapshot is newer (born-later table or the target
+        was expired — same retention contract as snapshot-id travel).
+        WAP caveat: a published batch carries its STAGING-time stamp
+        (publish copies staged snapshots verbatim), so as-of resolves by
+        when work committed, not when it became visible."""
+        sid: int | None = self.snapshot.snapshot_id
+        while sid is not None:
+            try:
+                s = self.read_snapshot(sid, hydrate=False)
+            except (FileNotFoundError, OSError):
+                break
+            at = s.summary.get("committed_at")
+            if at is not None and at <= ts:
+                return self.read_snapshot(s.snapshot_id)
+            sid = s.parent_id
+        raise ValueError(
+            f"no snapshot at or before ts={ts}: the oldest retained "
+            "snapshot is newer (expired history or a table created later)"
+        )
 
     def history(self) -> list[dict]:
         """Lineage of the current snapshot, oldest first. Stops at the
@@ -1049,7 +1076,11 @@ class LakeTable:
             hist_files=hist,
             file_stats=stats,
             committed_batches=committed,
-            summary={**(summary or {}), "batch_id": batch_id},
+            summary={
+                **(summary or {}),
+                "batch_id": batch_id,
+                "committed_at": round(time.time(), 3),
+            },
             properties=parent.properties if new_properties is None else new_properties,
             hist_manifests=manifests,
             bloom_index=bloom_index,

@@ -34,6 +34,22 @@ def main(argv=None) -> int:
     p.add_argument("--buckets-per-group", type=int, default=64)
     p.add_argument("--cores", type=int, default=None)
     p.add_argument(
+        "--late-events",
+        nargs="*",
+        default=[],
+        metavar="ID=GLOB",
+        help="MISSED batches redelivered out of order: applied after the "
+        "--events batches via apply_late_batch (events whose key a "
+        "higher-numbered batch changed are superseded — dropped and "
+        "counted, the rest merge; final state = serial batch-id order)",
+    )
+    p.add_argument(
+        "--quarantine-dir",
+        default=None,
+        help="where --late-events' superseded events are written for audit "
+        "(<dir>/batch-NNNNNN parquet); omitted = counted only",
+    )
+    p.add_argument(
         "--wap",
         action="store_true",
         help="write-audit-publish: stage each batch on a branch ref, audit "
@@ -49,6 +65,12 @@ def main(argv=None) -> int:
         # read-time fold / compaction).
         p.error("--wap requires --mode cow (MoR deltas cannot be audited "
                 "pre-publish; audit at compaction instead)")
+    if args.late_events and args.mode == "mor":
+        # apply_late_batch would raise on the pending deltas anyway; fail
+        # the flag combination up front like --wap does.
+        p.error("--late-events requires --mode cow (pending MoR deltas "
+                "hide touched keys from the supersession check; compact "
+                "first)")
 
     from tpc_di_spark.cdc import CdcOrchestrator
     from tpc_di_spark.cdc.mor import apply_batch_mor, compact_deltas
@@ -105,6 +127,13 @@ def main(argv=None) -> int:
             rec = apply_batch_mor(orch, df, bid)
         else:
             rec = orch.apply_batch(df, bid)
+        print(json.dumps(rec))
+    late = sorted(
+        (int(s.split("=", 1)[0]), s.split("=", 1)[1]) for s in args.late_events
+    )
+    for bid, glob in late:
+        df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(glob)
+        rec = orch.apply_late_batch(df, bid, quarantine_dir=args.quarantine_dir)
         print(json.dumps(rec))
     if args.compact:
         print(json.dumps({"compaction": compact_deltas(orch)}))
