@@ -114,6 +114,16 @@ def expire_snapshots(
         if table.fs.exists(os.path.join(meta, LakeTable._snap_name(sid))):
             keep_ids.add(sid)
 
+    # Tag refs (lake/tags.py): a tagged snapshot is pinned until its tag
+    # is deleted — the audit-pin retention rule, honored with the same
+    # exists-probe as catalog pins (a tag whose snapshot was expired
+    # before tagging-aware expiry existed is dangling, not resurrected).
+    from tpc_di_spark.lake import tags as _tags
+
+    for sid in _tags.tagged_snapshot_ids(table):
+        if table.fs.exists(os.path.join(meta, LakeTable._snap_name(sid))):
+            keep_ids.add(sid)
+
     # WAP branch refs (lake/wap.py): a staged branch pins its fork-point
     # snapshot (it is the branch chain's parent) and its staged chains'
     # data files — both until publish/abort. Same retention rule as the
@@ -302,4 +312,61 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
         "num_buckets": new_num_buckets,
         "files": sum(len(v) for v in new_files.values())
         + sum(len(v) for v in new_hist.values()),
+    }
+
+
+def table_stats(table: LakeTable) -> dict:
+    """Metadata-only operational description of a table — the DBA surface
+    behind compaction/expiry/rebucket decisions (Iceberg's
+    ``metadata_log_entries``/``files`` metadata tables, without scanning a
+    byte of data). Everything derives from the loaded snapshot plus
+    ``_meta`` listings, so it is O(files-in-metadata) on the driver and
+    safe to call on every batch at the 10^5-file design point.
+
+    Skew fields: current-family files per bucket min/max/mean — a max far
+    above the mean means hot buckets (compaction candidates); a growing
+    ``hist_files`` total with flat ``current_files`` is the append-only
+    history fan the auto-compaction policy bounds.
+    """
+    snap = table.snapshot
+    meta = os.path.join(table.path, "_meta")
+    per_bucket = {int(b): len(fl) for b, fl in snap.files.items() if fl}
+    counts = sorted(per_bucket.values())
+    n_snaps = n_wap = 0
+    n_blooms = n_manifests = 0
+    for name in table.fs.listdir(meta):
+        if _WAP_SNAP_RE.fullmatch(name):
+            n_wap += 1
+        elif _SNAP_RE.fullmatch(name):
+            n_snaps += 1
+        elif name.startswith("bloom-"):
+            n_blooms += 1
+        elif name.startswith("manifest-"):
+            n_manifests += 1
+    from tpc_di_spark.cdc.mor import pending_delta_batches
+    from tpc_di_spark.lake import tags as _tags
+    from tpc_di_spark.lake import wap as _wap
+
+    return {
+        "snapshot_id": snap.snapshot_id,
+        "num_buckets": snap.num_buckets,
+        "columns": len(snap.schema.fields),
+        "committed_batches": len(snap.committed_batches),
+        "current_files": sum(counts),
+        "hist_files": sum(len(fl) for fl in snap.hist_files.values()),
+        "files_per_bucket": {
+            "min": counts[0] if counts else 0,
+            "max": counts[-1] if counts else 0,
+            "mean": round(sum(counts) / len(counts), 2) if counts else 0.0,
+            "empty_buckets": snap.num_buckets - len(counts),
+        },
+        "snapshots_on_disk": n_snaps,
+        "staged_wap_snapshots": n_wap,
+        "hist_manifests": n_manifests,
+        "bloom_sidecars": n_blooms,
+        "bloom_indexed_column": snap.properties.get("index.bloom.column"),
+        "pending_mor_deltas": [d["batch_id"] for d in pending_delta_batches(table)],
+        "branches": sorted(_wap.list_branches(table)),
+        "tags": sorted(_tags.list_tags(table)),
+        "properties": dict(snap.properties),
     }
