@@ -3115,6 +3115,135 @@ WHERE rb = 1 AND cdc_flag <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# Q61 — FULL SCD2 LINEAGE equality: every other engine-replay query
+# checks the LIVE state; this one hash-checks the complete version
+# chains the expire-and-insert merge wrote — effective_ts / end_ts /
+# is_current / creating batch per version (tombstones excluded via their
+# negative-batch marker). The oracle reconstructs the chains in SQL:
+# per-(key, batch) LWW winners ordered by batch; each non-delete winner
+# is a version whose end_ts is the NEXT winner's ts (delete or not) and
+# is_current iff no later winner exists. A merge that closed the wrong
+# version, stamped the wrong boundary ts, or resurrected a delete goes
+# hash-red here even if the live state happens to match.
+# ---------------------------------------------------------------------------
+
+def q61_scd2_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 2 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q61_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    for b in (1, 2):
+        orch.apply_batch(ev.filter(F.col("_b") == b).drop("_b"), batch_id=b)
+    return (
+        table.read()
+        .filter(F.col("batch_id") > 0)  # tombstones are not versions
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "is_current",
+            "effective_ts",
+            "end_ts",
+            F.col("batch_id").cast("int").alias("batch_id"),
+        )
+    )
+
+
+Q61_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 2 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT conv_id, turn_idx, b, cdc_flag, role, text, ts FROM w WHERE rn = 1),
+seq AS (SELECT *,
+               lead(ts) OVER (PARTITION BY conv_id, turn_idx ORDER BY b) AS next_ts,
+               lead(b)  OVER (PARTITION BY conv_id, turn_idx ORDER BY b) AS next_b
+        FROM winners)
+SELECT conv_id, turn_idx, role, text,
+       (next_b IS NULL) AS is_current,
+       ts AS effective_ts,
+       COALESCE(next_ts, TIMESTAMP '9999-12-31 00:00:00') AS end_ts,
+       b AS batch_id
+FROM seq
+WHERE cdc_flag <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q62 — AS-OF-TIMESTAMP time travel (LakeTable.snapshot_as_of): replay
+# two batches capturing a wall-clock instant between the commits, then
+# read AS OF that instant — the result must be exactly the batch-1-only
+# live state (the oracle recomputes it from the batch-1 event slice).
+# The wall clock is runtime-captured but the RESOLVED state is fully
+# deterministic, so the hash compare is stable.
+# ---------------------------------------------------------------------------
+
+def q62_asof_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 2 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q62_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    orch.apply_batch(ev.filter(F.col("_b") == 1).drop("_b"), batch_id=1)
+    between = _time.time()
+    _time.sleep(0.05)  # commit stamps are wall-clock: separate them
+    orch.apply_batch(ev.filter(F.col("_b") == 2).drop("_b"), batch_id=2)
+    snap = table.snapshot_as_of(between)
+    return (
+        table.read(snapshot=snap, family="current")
+        .filter(F.col("is_current"))
+        .select("conv_id", "turn_idx", "role", "text", "ts")
+    )
+
+
+Q62_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts
+  FROM events
+  WHERE CAST((event_id // 7) % 2 + 1 AS INT) = 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev)
+SELECT conv_id, turn_idx, role, text, ts FROM r WHERE rn = 1 AND cdc_flag <> 'D'
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -3191,6 +3320,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_incremental_view_extended": q58_incremental_view_extended,
     "q59_bloom_lookup": q59_bloom_lookup,
     "q60_late_batch_replay": q60_late_batch_replay,
+    "q61_scd2_lineage": q61_scd2_lineage,
+    "q62_asof_travel": q62_asof_travel,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3258,6 +3389,8 @@ _ORACLES: dict[str, str] = {
     "q58_incremental_view_extended": Q58_SQL,
     "q59_bloom_lookup": Q59_SQL,
     "q60_late_batch_replay": Q60_SQL,
+    "q61_scd2_lineage": Q61_SQL,
+    "q62_asof_travel": Q62_SQL,
 }
 
 

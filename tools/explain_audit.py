@@ -33,6 +33,8 @@ AUDITS = [
     ("q58_incremental_view_extended", "the extended view SERVES as one small state-parquet scan with hidden component columns projected away — avg/LWW/extreme maintenance (including any retraction recompute) was paid at refresh time"),
     ("q59_bloom_lookup", "the Bloom-pruned lookup plan is a scan of ONLY the may-contain file subset plus the residual IN filter — file selection happened at planning time (sidecar probe, one |values|-row hash job), so no join, no extra exchange, and the scan's file count is the pruned count, not the table's"),
     ("q60_late_batch_replay", "the SERVING read after out-of-order repair is the standard current-family bucket scan + is_current filter — the supersession anti-join (file-skipped changed-keys scan + one broadcast/shuffle anti-join) was paid at late-apply time and leaves no trace in the read plan"),
+    ("q61_scd2_lineage", "the full-lineage read is ONE scan over both file families with a residual batch_id>0 filter (tombstone exclusion) — version chains are materialized by the merge at write time, so lineage service needs no window or join"),
+    ("q62_asof_travel", "as-of resolution is metadata-only (a parent-chain walk over snapshot JSONs, no Spark job): the plan is the pinned snapshot's plain current-family scan + is_current filter, identical in shape to a head read"),
 ]
 
 
