@@ -199,3 +199,31 @@ def test_null_probe_refused_and_null_cells_skipped(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL"):
         t.lookup_by("conv_id", ["x", None])
     assert len(t.lookup_by("conv_id", ["x"]).collect()) == 1
+
+
+
+def test_consolidate_blooms(spark, tmp_path):
+    """Many per-commit sidecars merge into one; lookups stay exact and
+    prune-effective, and expiry sweeps the superseded sidecars."""
+    from tpc_di_spark.lake.maintenance import consolidate_blooms, expire_snapshots
+
+    t = make_table(spark, tmp_path / "t")
+    for lo in range(0, 60, 10):
+        t.append(mkrows(spark, range(lo, lo + 10), 3))
+    n_before = len(t.snapshot.bloom_index)
+    assert n_before == 6
+    probe = ["conv-0003", "conv-0042"]
+    want = {(r.conv_id, r.turn_idx) for r in t.lookup_by("conv_id", probe).collect()}
+
+    rec = consolidate_blooms(t, max_sidecars=1)
+    assert rec["sidecars_after"] == 1 and len(t.snapshot.bloom_index) == 1
+    got = {(r.conv_id, r.turn_idx) for r in t.lookup_by("conv_id", probe).collect()}
+    assert got == want and len(got) == 6
+    st = t.last_lookup_stats
+    assert st["files_scanned"] < st["files_total"] / 2  # still prunes
+    # below threshold: no-op
+    assert consolidate_blooms(t, max_sidecars=8)["consolidated"] == 0
+    # expiry sweeps the superseded sidecar files; the merged one survives
+    swept = expire_snapshots(t, keep_last=1)
+    assert swept["removed_blooms"] >= n_before
+    assert {(r.conv_id, r.turn_idx) for r in t.lookup_by("conv_id", probe).collect()} == want

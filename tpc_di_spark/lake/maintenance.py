@@ -370,3 +370,73 @@ def table_stats(table: LakeTable) -> dict:
         "tags": sorted(_tags.list_tags(table)),
         "properties": dict(snap.properties),
     }
+
+
+def consolidate_blooms(table: LakeTable, max_sidecars: int = 8) -> dict:
+    """Merge the snapshot's Bloom sidecars into one per (column, nbits,
+    k) parameter set when more than ``max_sidecars`` have accumulated.
+
+    Every commit on an indexed table writes one sidecar; an entry only
+    dies when ALL its covered files are rewritten, so a long run between
+    compactions accumulates sidecars whose probe-time JSON loads are
+    driver-side O(commits). Consolidation is pure metadata: read the
+    live filters, drop the ones whose file is no longer referenced,
+    write ONE merged sidecar, and commit a snapshot whose bloom_index
+    points at it (``replace_bloom_index``). No data files move; probes
+    on older snapshots keep reading the old sidecars until expiry
+    sweeps them (they become unreferenced by the new chain exactly like
+    replaced data files)."""
+    import json as _json
+    import uuid as _uuid
+
+    table.refresh()
+    snap = table.snapshot
+    if len(snap.bloom_index) <= max_sidecars:
+        return {"consolidated": 0, "sidecars_before": len(snap.bloom_index)}
+    referenced = {
+        rel
+        for fmap in (snap.files, snap.hist_files)
+        for fl in fmap.values()
+        for rel in fl
+    }
+    # group live filters by parameter set (properties can change over time)
+    by_params: dict[tuple, dict[str, str]] = {}
+    for entry in snap.bloom_index:
+        try:
+            raw = _json.loads(
+                table.fs.read_text(os.path.join(table.path, entry["rel"]))
+            )
+        except FileNotFoundError:
+            continue  # expired sidecar: its files degrade to always-scan
+        key = (raw["column"], int(raw["nbits"]), int(raw["k"]))
+        dst = by_params.setdefault(key, {})
+        for rel, bits in raw["files"].items():
+            if rel in referenced:
+                dst[rel] = bits
+    new_index = []
+    for (col, nbits, k), filters in sorted(by_params.items()):
+        if not filters:
+            continue
+        rel_out = os.path.join("_meta", f"bloom-{_uuid.uuid4().hex[:12]}.json")
+        table.fs.write_text(
+            os.path.join(table.path, rel_out),
+            _json.dumps(
+                {"column": col, "nbits": nbits, "k": k, "files": filters}
+            ),
+        )
+        new_index.append({"rel": rel_out, "files": sorted(filters)})
+    table.commit(
+        new_files_by_bucket={},
+        mode="append",
+        replace_bloom_index=new_index,
+        summary={
+            "operation": "consolidate-blooms",
+            "sidecars_before": len(snap.bloom_index),
+            "sidecars_after": len(new_index),
+        },
+    )
+    return {
+        "consolidated": 1,
+        "sidecars_before": len(snap.bloom_index),
+        "sidecars_after": len(new_index),
+    }

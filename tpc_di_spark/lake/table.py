@@ -959,6 +959,7 @@ class LakeTable:
         append_hist_by_bucket: dict[str, list[str]] | None = None,
         replace_hist: bool = False,
         new_file_stats: dict[str, list] | None = None,
+        replace_bloom_index: list | None = None,
     ) -> Snapshot:
         """Produce the next snapshot and atomically flip VERSION to it.
 
@@ -1020,8 +1021,17 @@ class LakeTable:
         # immutable + uniquely named, so a loser's sidecar is just an
         # expire-swept orphan).
         eff_props = parent.properties if new_properties is None else new_properties
+        # replace_bloom_index swaps the whole entry list (sidecar
+        # consolidation, lake/maintenance.consolidate_blooms); entries
+        # are still filtered to referenced files as a safety net.
         bloom_index = [
-            e for e in parent.bloom_index if any(r in referenced for r in e["files"])
+            e
+            for e in (
+                parent.bloom_index
+                if replace_bloom_index is None
+                else replace_bloom_index
+            )
+            if any(r in referenced for r in e["files"])
         ]
         if eff_props.get(_bloom.PROP_COLUMN) and new_files_by_bucket:
             entry = _bloom.build_sidecar(
