@@ -3244,6 +3244,56 @@ SELECT conv_id, turn_idx, role, text, ts FROM r WHERE rn = 1 AND cdc_flag <> 'D'
 """
 
 
+# ---------------------------------------------------------------------------
+# Q63 — turn-ordered conversation export (functions/transcripts.py): the
+# transcripts lake's canonical serving op — reassemble each
+# conversation's live turns into ONE training document (stable turn
+# order, the north rule's observable invariant). LWW live state derived
+# DataFrame-side (operator query, like q19), then collect_list →
+# array_sort → transform → array_join, all JVM. Oracle: DuckDB
+# string_agg ORDER BY turn_idx over the same live state.
+# ---------------------------------------------------------------------------
+
+def q63_conversation_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tpc_di_spark.functions.transcripts import assemble_conversations
+
+    ev = _derive_change_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").desc(), F.col("cdc_dsn").desc()
+    )
+    live = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("cdc_flag") != "D"))
+        .drop("_rn")
+    )
+    return assemble_conversations(live)
+
+
+Q63_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts
+  FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+live AS (SELECT * FROM r WHERE rn = 1 AND cdc_flag <> 'D'),
+doc AS (
+  SELECT conv_id,
+         string_agg(printf('<%s> %s', role, coalesce(text, '')), chr(10) ORDER BY turn_idx) AS document,
+         CAST(COUNT(*) AS INT) AS n_turns
+  FROM live GROUP BY conv_id)
+SELECT conv_id, document, n_turns, CAST(length(document) AS INT) AS n_chars FROM doc
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -3322,6 +3372,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_late_batch_replay": q60_late_batch_replay,
     "q61_scd2_lineage": q61_scd2_lineage,
     "q62_asof_travel": q62_asof_travel,
+    "q63_conversation_export": q63_conversation_export,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3391,6 +3442,7 @@ _ORACLES: dict[str, str] = {
     "q60_late_batch_replay": Q60_SQL,
     "q61_scd2_lineage": Q61_SQL,
     "q62_asof_travel": Q62_SQL,
+    "q63_conversation_export": Q63_SQL,
 }
 
 

@@ -535,3 +535,25 @@ def test_reconcile_current_state_matches_oracle(spark, tmp_path):
     assert len(drift) > 0
     assert all(r.change_type == "update" for r in drift)
     assert all(r.conv_id == "conv-000005" for r in drift)
+
+
+def test_assemble_conversations_orders_turns(spark):
+    """Turn order is stable regardless of input row order; NULL text
+    keeps its slot as the empty string."""
+    import datetime as dt
+
+    from tpc_di_spark.functions.transcripts import assemble_conversations
+
+    rows = [
+        ("c1", 2, "assistant", "world", dt.datetime(2024, 1, 1)),
+        ("c1", 0, "user", "hello", dt.datetime(2024, 1, 1)),
+        ("c1", 1, "tool", None, dt.datetime(2024, 1, 1)),
+        ("c2", 0, "user", "solo", dt.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    ).repartition(4)
+    out = {r.conv_id: r for r in assemble_conversations(df).collect()}
+    assert out["c1"].document == "<user> hello\n<tool> \n<assistant> world"
+    assert out["c1"].n_turns == 3
+    assert out["c2"].document == "<user> solo" and out["c2"].n_chars == len("<user> solo")
