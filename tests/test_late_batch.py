@@ -200,3 +200,47 @@ def test_late_batch_refuses_pending_mor_deltas(spark, tmp_path):
     apply_batch_mor(orch, batches[3], 4)
     with pytest.raises(ValueError, match="pending MoR delta"):
         orch.apply_late_batch(batches[2], 3)
+
+
+def test_null_key_policy(spark, tmp_path):
+    """NULL-business-key events: error policy fails the batch in the
+    accounting job; drop policy filters + counts them; and even
+    unchecked (count_input=False) they stay VISIBLE in the table rather
+    than silently vanishing from the merge (presence-marker fix)."""
+    import pyspark.sql.functions as F2
+
+    good = historical_batch(spark, 10, 4)
+    bad = spark.createDataFrame(
+        [
+            ("I", 90_001, None, 1, "user", "null conv", dt.datetime(2024, 1, 5)),
+            ("I", 90_002, "conv-000001", None, "user", "null turn", dt.datetime(2024, 1, 5)),
+        ],
+        EV_DDL,
+    )
+    mixed = good.union(bad)
+
+    t1 = bootstrap_table(spark, str(tmp_path / "err"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    with pytest.raises(ValueError, match="NULL business-key"):
+        CdcOrchestrator(t1).apply_batch(mixed, 1)
+
+    t2 = bootstrap_table(spark, str(tmp_path / "drop"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    rec = CdcOrchestrator(t2, null_key_policy="drop").apply_batch(mixed, 1)
+    assert rec["events_null_key"] == 2
+    assert rec["events_in"] == 42
+    live = current_state(t2)
+    assert live.count() == 40  # the 2 null-key events were dropped
+    assert live.filter(F2.col("conv_id").isNull() | F2.col("turn_idx").isNull()).count() == 0
+
+    # Unchecked path (count_input=False, bench contract): rows are NOT
+    # silently lost — they land visibly with NULL keys, where a WAP
+    # not_null audit or a reconcile catches them.
+    t3 = bootstrap_table(spark, str(tmp_path / "raw"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    CdcOrchestrator(t3, count_input=False).apply_batch(mixed, 1)
+    raw = current_state(t3)
+    assert raw.count() == 42
+    assert raw.filter(F2.col("conv_id").isNull()).count() == 1
+    # second batch against the poisoned table still merges fine
+    CdcOrchestrator(t3, count_input=False).apply_batch(
+        incremental_batch(spark, 2, 50, 10, 4), 2
+    )
+    assert current_state(t3).filter(F2.col("conv_id").isNull()).count() == 1

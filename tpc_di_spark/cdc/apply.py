@@ -125,15 +125,23 @@ def merge_batch_rows(
     # still pair with exactly the one current version of their key. Halves
     # table-read bytes per batch — the dominant shared-disk cost of the
     # CoW merge at scale.
-    t = target.alias("t")
-    s = events.alias("s")
+    # Structural presence markers, NOT key-null sentinels: with
+    # `t.key IS NOT NULL` as the side-present test, a NULL-business-key
+    # event (garbage upstream data) reads as "source side absent" and
+    # VANISHES from the merge output — the worst failure mode, silent
+    # row loss. A literal flag survives the outer join as NULL exactly
+    # when the side is absent, so NULL-key rows stay visible (they land
+    # as insert-only rows a `not_null` WAP audit or the orchestrator's
+    # null_key_policy can catch). Pure projection: no extra Exchange.
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = events.withColumn("_s_present", F.lit(True)).alias("s")
     cond = F.col("t.is_current")
     for k in key:
         cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
     j = t.join(s, cond, "full_outer")
 
-    t_present = F.col(f"t.{key[0]}").isNotNull()
-    s_present = F.col(f"s.{key[0]}").isNotNull()
+    t_present = F.col("t._t_present").isNotNull()
+    s_present = F.col("s._s_present").isNotNull()
 
     # Row 1 per join hit: the pre-existing current row — closed if an event
     # hit its key (I/U/D all expire the old version; SURVEY M1), kept

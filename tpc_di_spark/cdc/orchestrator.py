@@ -59,6 +59,7 @@ class CdcOrchestrator:
         count_input: bool = True,
         messages_log=None,
         auto_compact_files_per_bucket: int = 0,
+        null_key_policy: str = "error",
     ):
         self.table = table
         self.spark = table.spark
@@ -72,6 +73,20 @@ class CdcOrchestrator:
         # rows" insert, `Historical/prospect.py:158-163`). Opt-in — the
         # metrics JSON remains the zero-extra-job default.
         self.messages_log = messages_log
+        # NULL-business-key events are upstream garbage: an equi-join
+        # merge can never match them again, so once written they are
+        # unreachable junk rows (and pre-round-6 they silently VANISHED
+        # from the merge — the presence-marker fix in cdc/apply.py makes
+        # them visible instead). Policy: "error" (default) fails the
+        # batch when any key column is NULL — checked inside the same
+        # job as the input count, so it costs nothing extra; with
+        # count_input=False the check is documented-skipped along with
+        # the count (the bench's zero-extra-job contract). "drop"
+        # filters them out free-of-charge in the same scan and reports
+        # events_null_key in the metrics.
+        if null_key_policy not in ("error", "drop"):
+            raise ValueError(f"unknown null_key_policy {null_key_policy!r}")
+        self.null_key_policy = null_key_policy
         # Opt-in compaction policy: after each committed batch, buckets
         # whose TOTAL file count (current + history) exceeds this are
         # rewritten by lake.maintenance.compact. The history family is
@@ -91,7 +106,39 @@ class CdcOrchestrator:
             count_input=self.count_input,
             messages_log=self.messages_log,
             auto_compact_files_per_bucket=self.auto_compact_files_per_bucket,
+            null_key_policy=self.null_key_policy,
         )
+
+    def _account_input(self, events: DataFrame, batch_id: int):
+        """Input accounting: (events, n_events, n_null_key) in AT MOST one
+        job. With count_input, ONE aggregate computes the total and the
+        NULL-key count together (replacing the old bare count()); without
+        it, no job runs and both come back None (documented: the bench's
+        zero-extra-job contract skips validation with the count). The
+        "drop" policy's filter costs nothing either way — it rides the
+        scan the dedup pass makes anyway."""
+        key_null = None
+        for k in self.table.key_cols:
+            c = F.col(k).isNull()
+            key_null = c if key_null is None else (key_null | c)
+        n_events = n_null = None
+        if self.count_input:
+            row = events.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(key_null.cast("long")), F.lit(0)).alias("nn"),
+            ).collect()[0]
+            n_events, n_null = row["n"], row["nn"]
+            if n_null and self.null_key_policy == "error":
+                raise ValueError(
+                    f"batch {batch_id}: {n_null} events carry NULL business-"
+                    f"key columns ({list(self.table.key_cols)}) — upstream "
+                    "garbage an equi-join merge can never match again. Fix "
+                    "the source, or construct the orchestrator with "
+                    "null_key_policy='drop' to filter and count them."
+                )
+        if self.null_key_policy == "drop":
+            events = events.filter(~key_null)
+        return events, n_events, n_null
 
     # ------------------------------------------------------------ utilities
     def _staging_dir(self, batch_id: int) -> str:
@@ -230,7 +277,7 @@ class CdcOrchestrator:
 
         self._maybe_evolve(events, batch_id)
         events = align_events(events, self.table)
-        n_events = events.count() if self.count_input else None
+        events, n_events, n_null = self._account_input(events, batch_id)
 
         # ONE exchange for the whole batch: repartition the events to the
         # table's bucket layout BEFORE the LWW groupBy. The groupBy's
@@ -255,7 +302,9 @@ class CdcOrchestrator:
             # that would recompute the dedup. Right when batches touch most
             # buckets anyway (bulk replays, benches); bucket-pruned multi-
             # group mode remains the default for sparse batches.
-            return self._apply_single_group(events, deduped, batch_id, n_events, t0)
+            return self._apply_single_group(
+                events, deduped, batch_id, n_events, t0, n_null=n_null
+            )
 
         try:
             # One job yields both the touched-bucket set and per-bucket
@@ -382,6 +431,7 @@ class CdcOrchestrator:
             "batch_id": batch_id,
             "snapshot_id": snap.snapshot_id,
             "events_in": n_events,
+            "events_null_key": n_null,
             "events_after_lww": n_deduped,
             "buckets_touched": len(touched),
             "groups": group_metrics,
@@ -396,7 +446,9 @@ class CdcOrchestrator:
         self._emit_status(record)
         return record
 
-    def _apply_single_group(self, events, deduped, batch_id, n_events, t0) -> dict:
+    def _apply_single_group(
+        self, events, deduped, batch_id, n_events, t0, n_null=None
+    ) -> dict:
         """One-pass apply of a batch that spans (potentially) every bucket.
         Same checkpoint manifest + atomic commit as the grouped path; the
         resume granularity is the whole batch."""
@@ -487,6 +539,7 @@ class CdcOrchestrator:
             "batch_id": batch_id,
             "snapshot_id": snap.snapshot_id,
             "events_in": n_events,
+            "events_null_key": n_null,
             "events_after_lww": None,
             "buckets_touched": len(replaced),
             "groups": [metrics],
@@ -557,7 +610,7 @@ class CdcOrchestrator:
 
         self._maybe_evolve(events, batch_id)
         events = align_events(events, self.table)
-        n_events = events.count() if self.count_input else None
+        events, n_events, n_null = self._account_input(events, batch_id)
         # A snapshot is a set of point-in-time READS — 'D' cannot occur.
         # Its presence means tail events were routed into the snapshot
         # path, where their deletes would be silently ignored: refuse.
@@ -611,6 +664,7 @@ class CdcOrchestrator:
             "batch_id": batch_id,
             "snapshot_id": snap.snapshot_id,
             "events_in": n_events,
+            "events_null_key": n_null,
             "rows_inserted": inserted,
             "rows_dropped_stale_or_present": (
                 (n_events - inserted) if n_events is not None else None
