@@ -227,3 +227,27 @@ def test_consolidate_blooms(spark, tmp_path):
     swept = expire_snapshots(t, keep_last=1)
     assert swept["removed_blooms"] >= n_before
     assert {(r.conv_id, r.turn_idx) for r in t.lookup_by("conv_id", probe).collect()} == want
+
+
+def test_auto_consolidation_rides_compaction_policy(spark, tmp_path):
+    """An orchestrator with a compaction policy on an indexed table also
+    bounds sidecar count — one knob for both growth curves."""
+    from tpc_di_spark.cdc import CdcOrchestrator
+    from tpc_di_spark.cdc.generator import historical_batch, incremental_batch
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    table = bootstrap_table(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4,
+        properties={bl.PROP_COLUMN: "conv_id"},
+    )
+    orch = CdcOrchestrator(table, auto_compact_files_per_bucket=2)
+    orch.apply_batch(historical_batch(spark, 30, 4), 1)
+    for b in range(2, 8):
+        orch.apply_batch(incremental_batch(spark, b, 150, 30, 4), b)
+    assert len(table.snapshot.bloom_index) <= 3  # bounded, not ~7
+    convs = ["conv-000003", "conv-000011"]
+    got = table.lookup_by("conv_id", convs, family="current")
+    df = table.read(family="current").filter(F.col("is_current"))
+    want = df.filter(df.conv_id.isin(convs)).filter(F.col("is_current"))
+    assert got.filter(F.col("is_current")).count() == want.count()

@@ -220,6 +220,19 @@ class CdcOrchestrator:
         )
         if stats["compacted_buckets"]:
             record["auto_compact"] = stats
+        # On indexed tables the same policy bounds SIDECAR count: each
+        # commit adds one, and probe-time metadata loads are O(sidecars).
+        # Consolidation is metadata-only (no data moves), so riding the
+        # compaction trigger keeps both file and sidecar growth bounded
+        # by one knob.
+        if self.table.snapshot.properties.get("index.bloom.column"):
+            from tpc_di_spark.lake.maintenance import consolidate_blooms
+
+            brec = consolidate_blooms(
+                self.table, max_sidecars=max(self.auto_compact_files_per_bucket, 4)
+            )
+            if brec.get("consolidated"):
+                record["auto_consolidate_blooms"] = brec
 
     def _maybe_evolve(self, events: DataFrame, batch_id: int) -> None:
         """Transactional evolve-then-apply: add payload columns the batch
