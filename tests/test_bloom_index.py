@@ -251,3 +251,49 @@ def test_auto_consolidation_rides_compaction_policy(spark, tmp_path):
     df = table.read(family="current").filter(F.col("is_current"))
     want = df.filter(df.conv_id.isin(convs)).filter(F.col("is_current"))
     assert got.filter(F.col("is_current")).count() == want.count()
+
+
+def test_index_column_change_never_wrong(spark, tmp_path):
+    """After unsetting and re-pointing index.bloom.column at another
+    column, old-column filters must NOT prune probes on the new column
+    (a cross-column test would silently drop rows)."""
+    t = make_table(spark, tmp_path / "t")
+    t.append(mkrows(spark, range(0, 10), 3))
+    # repoint the index at `text` (the guard workflow: unset, then set)
+    t.set_properties({bl.PROP_COLUMN: "text"})
+    t.append(mkrows(spark, range(10, 20), 3, text="special"))
+    # probe the NEW column: old-column files have no text filter -> scan
+    got = t.lookup_by("text", ["special c15 t1"]).collect()
+    assert len(got) == 1 and got[0].conv_id == "conv-0015"
+    # probe the OLD column: new-batch files carry text filters only ->
+    # they must be scanned, not pruned, for a conv_id probe
+    got2 = t.lookup_by("conv_id", ["conv-0015"]).collect()
+    assert len(got2) == 3
+
+
+def test_widening_indexed_column_refused(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        StructType(
+            [
+                StructField("conv_id", StringType(), False),
+                StructField("turn_idx", IntegerType(), False),
+                StructField("score", IntegerType(), True),
+                StructField("ts", TimestampType(), True),
+            ]
+        ),
+        num_buckets=4,
+        properties={bl.PROP_COLUMN: "score"},
+    )
+    widened = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("turn_idx", IntegerType(), False),
+            StructField("score", LongType(), True),
+            StructField("ts", TimestampType(), True),
+        ]
+    )
+    with pytest.raises(ValueError, match="Bloom-indexed column"):
+        t.evolve_schema(widened)

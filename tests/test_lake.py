@@ -486,3 +486,36 @@ def test_crash_during_manifest_write_leaves_table_intact(spark, tmp_path):
         2,
     )
     assert {r.text for r in current_state(t).collect()} == {"v2"}
+
+
+def test_snapshot_as_of_survives_expiry_holes(spark, tmp_path):
+    """Tags make the retained set non-contiguous; as-of must resolve a
+    tagged snapshot past the expiry hole (the chain walk truncates)."""
+    import time as _time
+
+    from tpc_di_spark.lake.maintenance import expire_snapshots
+    from tpc_di_spark.lake.tags import create_tag
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+    t.append(mkrows(spark, 30))
+    create_tag(t, "pin")
+    after_pin = _time.time()
+    _time.sleep(0.05)
+    for i in range(4):
+        files = t.write_data_files(t.with_bucket(mkrows(spark, 10, text=f"v{i}")), f"rw-{i}")
+        t.commit(files, mode="replace", replaced_buckets=list(range(4)),
+                 summary={"operation": "test-rewrite"})
+    expire_snapshots(t, keep_last=2)  # keeps {pin, last 2} -> hole between
+    snap = t.snapshot_as_of(after_pin)
+    assert t.read(snapshot=snap).count() == 30
+
+
+def test_set_properties_metadata_commit(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, num_buckets=4)
+    t.append(mkrows(spark, 10))
+    t.set_properties({"index.bloom.column": "text", "custom.note": "x"})
+    assert t.snapshot.properties["index.bloom.column"] == "text"
+    t.set_properties({"custom.note": None})  # unset
+    assert "custom.note" not in t.snapshot.properties
+    with pytest.raises(ValueError, match="engine-maintained"):
+        t.set_properties({"bucket.hash": "xxhash64"})

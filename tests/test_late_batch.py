@@ -244,3 +244,42 @@ def test_null_key_policy(spark, tmp_path):
         incremental_batch(spark, 2, 50, 10, 4), 2
     )
     assert current_state(t3).filter(F2.col("conv_id").isNull()).count() == 1
+
+
+def test_late_batch_exact_after_compaction(spark, tmp_path):
+    """Compaction erases closing tags, making changed_keys_since
+    over-approximate — which for late repair would DROP legitimate
+    events. The exact per-batch supersession path must keep the serial
+    equivalence; once the committing snapshots are expired the repair
+    must refuse loudly instead of silently resurrecting deletes."""
+    from tpc_di_spark.lake.maintenance import compact, expire_snapshots
+
+    batches = gen_batches(spark)
+
+    serial = bootstrap_table(spark, str(tmp_path / "serial"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch_s = CdcOrchestrator(serial)
+    for i, b in enumerate(batches, start=1):
+        orch_s.apply_batch(b, i)
+
+    ooo = bootstrap_table(spark, str(tmp_path / "ooo"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch_o = CdcOrchestrator(ooo)
+    orch_o.apply_batch(batches[0], 1)
+    orch_o.apply_batch(batches[1], 2)
+    orch_o.apply_batch(batches[3], 4)  # batch 3 missing
+    compact(ooo, max_files_per_bucket=0)  # erases closing tags
+    rec = orch_o.apply_late_batch(batches[2], 3)
+    assert rec["late_apply"] is True
+    assert_pdf_equal(
+        current_state(serial).toPandas(), current_state(ooo).toPandas(), KEY
+    )
+
+    # Expired retention: the exact close set is unrecoverable -> refuse.
+    ooo2 = bootstrap_table(spark, str(tmp_path / "ooo2"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch_2 = CdcOrchestrator(ooo2)
+    orch_2.apply_batch(batches[0], 1)
+    orch_2.apply_batch(batches[1], 2)
+    orch_2.apply_batch(batches[3], 4)
+    compact(ooo2, max_files_per_bucket=0)
+    expire_snapshots(ooo2, keep_last=1)
+    with pytest.raises(ValueError, match="unrecoverable|retention"):
+        orch_2.apply_late_batch(batches[2], 3)

@@ -742,18 +742,17 @@ class CdcOrchestrator:
         if self.table.is_batch_committed(batch_id):
             return {"batch_id": batch_id, "skipped": "already-committed"}
         from tpc_di_spark.cdc.mor import pending_delta_batches
-        from tpc_di_spark.lake.changelog import changed_keys_since
 
         if pending_delta_batches(self.table):
             raise ValueError(
                 "pending MoR delta batches exist — compact them before "
                 "applying a late batch (their touched keys are not yet "
-                "visible to changed_keys_since)"
+                "visible to the supersession check)"
             )
         self._maybe_evolve(events, batch_id)
         events = align_events(events, self.table)
         key = list(self.table.key_cols)
-        touched = changed_keys_since(self.table, batch_id).select(*key)
+        touched = self._superseded_keys(batch_id)
         marked = events.join(
             touched.withColumn("_superseded", F.lit(True)), on=key, how="left"
         )
@@ -795,6 +794,46 @@ class CdcOrchestrator:
         }
         self.table.fs.replace_text(self._metrics_path(batch_id), json.dumps(record))
         return record
+
+    def _superseded_keys(self, batch_id: int) -> DataFrame:
+        """EXACT set of keys changed by batches with id > ``batch_id``.
+
+        `changed_keys_since` is the fast path, but it OVER-approximates
+        once a compaction/rebucket erased closing tags ("closing batch
+        unknown" files are included) — safe for consumers that merely
+        re-pull extra keys, WRONG here where membership DROPS the late
+        batch's events (over-approximation = data loss). When such a
+        rewrite exists anywhere in retained history, rebuild the set
+        per-batch instead: created keys from row-level batch_id (exact
+        across compaction) plus closed keys from each batch's committing
+        snapshot (time travel; ``strict=True`` raises when retention has
+        expired it — a missed close would resurrect a newer delete, so
+        "repair window passed" must be an error, not a silent wrong
+        answer)."""
+        from tpc_di_spark.lake.changelog import (
+            changed_keys_since,
+            rows_closed_in,
+            rows_created_in,
+        )
+        from tpc_di_spark.lake.incremental_view import needs_per_batch_fallback
+
+        key = list(self.table.key_cols)
+        if not needs_per_batch_fallback(self.table, None):
+            return changed_keys_since(self.table, batch_id).select(*key)
+        after = [
+            b for b in sorted(self.table.snapshot.committed_batches) if b > batch_id
+        ]
+        touched = None
+        for b in after:
+            part = rows_created_in(self.table, b).select(*key).unionByName(
+                rows_closed_in(
+                    self.table, b, include_tombstones=True, strict=True
+                ).select(*key)
+            )
+            touched = part if touched is None else touched.unionByName(part)
+        if touched is None:  # nothing committed after the late id
+            return self.table.read(family="current").select(*key).limit(0)
+        return touched.distinct()
 
     def _emit_status(self, record: dict) -> None:
         if self.messages_log is None:

@@ -148,12 +148,24 @@ def build_sidecar(
         r["_f"]: r["bits"]
         for r in df.groupBy("_f").applyInPandas(fold, "_f string, bits string").collect()
     }
-    # input_file_name() yields absolute URIs; key the sidecar by
-    # table-relative path (suffix match — rels are unique table-wide).
+    # input_file_name() yields absolute (possibly %-encoded) URIs; key
+    # the sidecar by table-relative path. O(files) dict build — commits
+    # run this inside their optimistic window, so a nested suffix scan
+    # (O(files^2) string compares on a compaction-sized commit) would
+    # widen the duelling-writer conflict window for nothing.
+    from urllib.parse import unquote, urlparse
+
+    built_by_rel: dict[str, str] = {}
+    for uri, bits_b64 in built.items():
+        parsed = urlparse(uri)
+        fpath = unquote(parsed.path) if parsed.scheme else uri
+        built_by_rel[os.path.relpath(fpath, table.path)] = bits_b64
     empty = base64.b64encode(bytes(nbytes)).decode()
     files: dict[str, str] = {}
     for rel in rels:
-        hit = next((v for uri, v in built.items() if uri.endswith(rel)), None)
+        hit = built_by_rel.get(rel)
+        if hit is None:  # URI form surprised us: fall back to suffix match
+            hit = next((v for uri, v in built.items() if uri.endswith(rel)), None)
         files[rel] = hit if hit is not None else empty
 
     sidecar = {"column": col, "nbits": nbits, "k": k, "files": files}
@@ -167,9 +179,16 @@ class BloomProbe:
     table handle per snapshot id (sidecars are immutable)."""
 
     def __init__(self, table, snapshot):
-        self.column: str | None = None
-        # rel -> (bits bytes, nbits, k)
-        self.filters: dict[str, tuple[bytes, int, int]] = {}
+        # rel -> (bits bytes, nbits, k, column). The COLUMN rides each
+        # filter: after an index-column change (unset the property,
+        # re-set to another column — the workflow the evolution guard
+        # prescribes) old-column sidecars are still carried forward
+        # while any covered file lives, and testing a new-column probe
+        # against an old-column filter would wrongly prune the file
+        # (silent missing rows). A column mismatch means "no filter for
+        # this probe" — scan.
+        self.filters: dict[str, tuple[bytes, int, int, str]] = {}
+        self.columns: set[str] = set()
         for entry in snapshot.bloom_index:
             try:
                 raw = json.loads(
@@ -177,25 +196,33 @@ class BloomProbe:
                 )
             except FileNotFoundError:
                 continue  # expired sidecar: its files read as unindexed
-            self.column = raw["column"]
+            col = raw["column"]
+            self.columns.add(col)
             for rel, b64 in raw["files"].items():
                 self.filters[rel] = (
-                    base64.b64decode(b64), int(raw["nbits"]), int(raw["k"])
+                    base64.b64decode(b64), int(raw["nbits"]), int(raw["k"]), col
                 )
 
-    def may_contain(self, rel: str, hashes: Sequence[tuple[int, int]]) -> bool:
+    def may_contain(
+        self, rel: str, hashes: Sequence[tuple[int, int]], column: str | None = None
+    ) -> bool:
         """True when ``rel``'s filter may contain ANY of the hashed values
-        (or the file has no filter — unknown is always scanned)."""
+        — or the file has no filter FOR THIS COLUMN (unknown is always
+        scanned). Tests the packed bytes directly (bit i = byte i>>3,
+        MSB-first — numpy packbits order): no per-call unpack allocation,
+        O(k x |values|) per file at the 10^5-file design point."""
         ent = self.filters.get(rel)
         if ent is None:
             return True
-        bits, nbits, k = ent
-        arr = np.unpackbits(np.frombuffer(bits, dtype=np.uint8))
+        bits, nbits, k, col = ent
+        if column is not None and col != column:
+            return True
+        arr = np.frombuffer(bits, dtype=np.uint8)
         for h1, h2 in hashes:
             pos = _positions(
                 np.array([h1], dtype=np.int64), np.array([h2], dtype=np.int64), nbits, k
-            )
-            if arr[pos.ravel()].all():
+            ).ravel()
+            if (arr[pos >> 3] & (np.uint8(0x80) >> (pos & 7).astype(np.uint8))).all():
                 return True
         return False
 

@@ -102,6 +102,7 @@ def rows_closed_in(
     batch_id: int,
     snapshot: Snapshot | None = None,
     include_tombstones: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
     """The versions ``batch_id`` expired (before-images of updates and
     deletes): the history files its commit appended. Pure file
@@ -122,6 +123,7 @@ def rows_closed_in(
     exactly Iceberg's incremental-read rule."""
     snap = snapshot or table.snapshot
     rels = hist_files_of_commit_tag(table, batch_id, snap)
+    resolved = bool(rels) or batch_id not in snap.committed_batches
     if not rels and batch_id in snap.committed_batches:
         # Newest-first, stopping at the first snapshot that actually
         # APPENDED this batch's closes. For a CoW batch that is the
@@ -137,10 +139,24 @@ def rows_closed_in(
                 s.get("operation") == "compact-delta"
                 and s.get("delta_batch") == batch_id
             ):
+                # Found the committing snapshot: its (possibly empty)
+                # hist delta is the EXACT close set for this batch.
+                resolved = True
                 committing = table.read_snapshot(h["snapshot_id"])
                 rels = hist_files_of_commit_tag(table, batch_id, committing)
                 if rels:
                     break
+    if strict and not resolved:
+        # The committing snapshot was expired AND a rewrite erased the
+        # tags: an empty answer here would be indistinguishable from
+        # "closed nothing" — callers whose correctness depends on the
+        # close set (late-batch supersession: a missed close would
+        # resurrect a newer delete) must fail instead.
+        raise ValueError(
+            f"batch {batch_id}'s close set is unrecoverable: its closing "
+            "tags were rewritten by compaction and its committing snapshot "
+            "was expired (the changelog retention window has passed)"
+        )
     if not rels:
         return table.spark.createDataFrame([], snap.schema)
     paths = [os.path.join(table.path, rel) for rel in rels]

@@ -325,20 +325,46 @@ class LakeTable:
         was expired — same retention contract as snapshot-id travel).
         WAP caveat: a published batch carries its STAGING-time stamp
         (publish copies staged snapshots verbatim), so as-of resolves by
-        when work committed, not when it became visible."""
+        when work committed, not when it became visible.
+
+        Tagged pins make the retained set NON-CONTIGUOUS (expiry keeps
+        {tagged, last-k}), so a parent-chain walk truncates at the first
+        expiry hole; past a hole this falls back to listing ``_meta``
+        directly — the same rule ``expire_snapshots`` applies for the
+        same reason — so an as-of read of a tagged audit snapshot works
+        even after the snapshots between it and head were expired."""
+        best: int | None = None
+        best_at = float("-inf")
         sid: int | None = self.snapshot.snapshot_id
+        hole = False
         while sid is not None:
             try:
                 s = self.read_snapshot(sid, hydrate=False)
             except (FileNotFoundError, OSError):
+                hole = True
                 break
             at = s.summary.get("committed_at")
             if at is not None and at <= ts:
                 return self.read_snapshot(s.snapshot_id)
             sid = s.parent_id
+        if hole:
+            import re as _re
+
+            snap_re = _re.compile(r"snap-(\d+)\.json")
+            meta = os.path.join(self.path, _META)
+            for name in self.fs.listdir(meta):
+                m = snap_re.fullmatch(name)
+                if not m:
+                    continue
+                s = self.read_snapshot(int(m.group(1)), hydrate=False)
+                at = s.summary.get("committed_at")
+                if at is not None and best_at < at <= ts:
+                    best, best_at = s.snapshot_id, at
+        if best is not None:
+            return self.read_snapshot(best)
         raise ValueError(
-            f"no snapshot at or before ts={ts}: the oldest retained "
-            "snapshot is newer (expired history or a table created later)"
+            f"no snapshot at or before ts={ts}: every retained snapshot "
+            "is newer (expired history or a table created later)"
         )
 
     def history(self) -> list[dict]:
@@ -739,9 +765,9 @@ class LakeTable:
         dtype = next((f.dataType for f in snap.schema.fields if f.name == col), None)
         if dtype is None:
             raise ValueError(f"no such column {col!r}")
-        if probe.column == col and probe.filters:
+        if col in probe.columns:
             hashes = _bloom.probe_hashes(self.spark, values, dtype)
-            keep = [rel for rel in rels if probe.may_contain(rel, hashes)]
+            keep = [rel for rel in rels if probe.may_contain(rel, hashes, col)]
         else:
             keep = rels
         self.last_lookup_stats = {"files_total": len(rels), "files_scanned": len(keep)}
@@ -1115,6 +1141,35 @@ class LakeTable:
             return new_t.scale == old_t.scale and new_t.precision >= old_t.precision
         return False
 
+    # Properties the engine itself maintains: user writes through
+    # set_properties would corrupt layout/evolution/MoR state.
+    _PROTECTED_PROPS = ("bucket.hash", "column.map", "delta_batches")
+
+    def set_properties(self, updates: dict, batch_id: int | None = None) -> Snapshot:
+        """ALTER TABLE SET TBLPROPERTIES: metadata-only commit merging
+        ``updates`` into the table properties; a ``None`` value UNSETS
+        its key (e.g. retire the Bloom index column before re-pointing
+        it). Engine-internal keys (bucket layout, rename map, pending
+        MoR deltas) are refused."""
+        bad = set(updates) & set(self._PROTECTED_PROPS)
+        if bad:
+            raise ValueError(
+                f"properties {sorted(bad)} are engine-maintained; use the "
+                "dedicated APIs (rebucket / rename_column / compaction)"
+            )
+        props = {
+            k: v
+            for k, v in {**self.snapshot.properties, **updates}.items()
+            if v is not None
+        }
+        return self.commit(
+            new_files_by_bucket={},
+            mode="append",
+            batch_id=batch_id,
+            new_properties=props,
+            summary={"operation": "set-properties", "keys": sorted(updates)},
+        )
+
     def evolve_schema(self, new_schema: StructType, batch_id: int | None = None) -> Snapshot:
         """Metadata-only transactional schema evolution: added columns and
         SAFE TYPE WIDENING (int→long, float→double, decimal precision
@@ -1142,6 +1197,16 @@ class LakeTable:
                         f"may not widen bucket/key column {f_old.name!r}: hash "
                         "bucketing is type-sensitive (use rebucket for layout "
                         "changes)"
+                    )
+                if f_old.name == self.snapshot.properties.get(_bloom.PROP_COLUMN):
+                    # xxhash64 is type-sensitive too: existing sidecars
+                    # hashed the narrow type, and a widened probe would
+                    # wrongly prune every pre-widening file.
+                    raise ValueError(
+                        f"may not widen the Bloom-indexed column "
+                        f"{f_old.name!r}: existing sidecars hashed the "
+                        f"narrow type — unset the {_bloom.PROP_COLUMN!r} "
+                        "property first"
                     )
         # Collision-safe re-ADD: an added column whose name was ever used
         # as a physical name (a retired dropped column, or another
@@ -1282,7 +1347,50 @@ class LakeTable:
                 f"expected parent snapshot {expected_parent}, found {current.snapshot_id}"
             )
         snap_name = self._snap_name(snap.snapshot_id)
-        self.fs.write_text(os.path.join(meta, snap_name), json.dumps(snap.to_json()))
+        # CREATE-ONLY snapshot materialization, mirroring WAP publish:
+        # main commits and publishers allocate the same ids (parent+1),
+        # and an unconditional PUT here could overwrite a concurrently
+        # PUBLISHED, VERSION-referenced staged snapshot in the window
+        # after this writer's parent check — the VERSION CAS below would
+        # fail, but the clobber would already have corrupted what VERSION
+        # points at. On a create conflict, re-read VERSION:
+        # - moved past the parent -> a publish/commit won this id; raise
+        #   CommitConflict WITHOUT touching the (live, referenced) file;
+        # - still at the parent -> the existing file is an unreferenced
+        #   orphan (a crashed writer's leftover — including OUR OWN
+        #   pre-crash attempt, whose body legitimately differs: salted
+        #   attempt paths and the committed_at stamp are per-attempt) —
+        #   replace it and proceed to the VERSION CAS.
+        # Residual window: a publisher that has created its file but not
+        # yet flipped VERSION can still be overwritten here; then the two
+        # VERSION CASes race and only a publisher-flip-first ordering is
+        # harmful. Closing it fully needs content-addressed snapshot
+        # names; the practical exposure is the microseconds between a
+        # publisher's create and flip, vs. the whole commit previously.
+        body = json.dumps(snap.to_json())
+        snap_path = os.path.join(meta, snap_name)
+        try:
+            self.fs.create_text(snap_path, body)
+        except CasConflict as e:
+            now_current = self._read_current_snapshot(self.path, self.fs, hydrate=False)
+            if now_current.snapshot_id != expected_parent:
+                raise CommitConflict(
+                    f"snapshot id {snap.snapshot_id} was committed/published "
+                    "concurrently (VERSION advanced past the parent)"
+                ) from e
+            try:
+                # Read first: on ObjectStoreFS replace_text is If-Match
+                # against THIS handle's last-seen ETag (never-read means
+                # create-only, which would re-conflict on the orphan).
+                # If the orphan changes between the read and the PUT,
+                # another writer is live — a real conflict.
+                self.fs.read_text(snap_path)
+                self.fs.replace_text(snap_path, body)
+            except (CasConflict, FileNotFoundError) as e2:
+                raise CommitConflict(
+                    f"snapshot file {snap_name} is contended (another writer "
+                    "replaced or removed it mid-recovery)"
+                ) from e2
         # The point of atomicity: a crash before this replace leaves the old
         # snapshot live and the new one orphaned; after it, the new one is
         # fully live. There is no intermediate state. (Rename locally/HDFS;
