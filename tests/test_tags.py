@@ -84,3 +84,56 @@ def test_table_stats_surface(spark, tmp_path):
     assert s["tags"] == ["pin"] and s["branches"] == []
     assert s["pending_mor_deltas"] == []
     assert s["snapshots_on_disk"] >= 2
+
+
+def test_rollback_to_restores_state_and_batch_ids(spark, tmp_path):
+    """Rollback reproduces the old state atomically; rolled-back batch
+    ids can re-apply (corrected data); consumers whose state includes
+    rolled-back effects refuse with a rebuild instruction."""
+    import datetime as dt
+
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.generator import historical_batch
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.lake.incremental_view import IncrementalView
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    table = bootstrap_table(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    orch = CdcOrchestrator(table)
+    orch.apply_batch(historical_batch(spark, 20, 4), 1)
+    good_sid = table.snapshot.snapshot_id
+    n_good = current_state(table).count()
+
+    bad = spark.createDataFrame(
+        [("U", 5_000, "conv-000001", 1, "user", "POISONED", dt.datetime(2024, 2, 1))],
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp",
+    )
+    orch.apply_batch(bad, 2)
+    assert current_state(table).filter("text = 'POISONED'").count() == 1
+
+    view = IncrementalView(
+        table, str(tmp_path / "v"), ["role"], [("count_live", None, "live_turns")]
+    )
+    view.refresh()  # consumed {1, 2}
+
+    snap = table.rollback_to(good_sid)
+    assert snap.summary["operation"] == "rollback"
+    assert current_state(table).count() == n_good
+    assert current_state(table).filter("text = 'POISONED'").count() == 0
+    assert not table.is_batch_committed(2)  # the id is free again
+
+    # consumer holds batch-2 effects -> must refuse, not diverge
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rolled back"):
+        view.refresh()
+
+    # corrected batch re-applies under the original id
+    fixed = spark.createDataFrame(
+        [("U", 5_001, "conv-000001", 1, "user", "fixed", dt.datetime(2024, 2, 2))],
+        "cdc_flag string, cdc_dsn long, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp",
+    )
+    orch.apply_batch(fixed, 2)
+    assert current_state(table).filter("text = 'fixed'").count() == 1

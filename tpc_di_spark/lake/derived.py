@@ -170,6 +170,14 @@ class DerivedTableSync:
         )
 
         consumed = consumed_batch_set(ck, committed)
+        rolled = consumed - set(committed)
+        if rolled:
+            raise ValueError(
+                f"parent table was rolled back past consumed batches "
+                f"{sorted(rolled)}: the child holds their effects while "
+                "the parent no longer does — delete the child table and "
+                "state dir and rebuild (rollback_to docs)"
+            )
         last = max(consumed) if consumed else 0
         pending_mor = [d["batch_id"] for d in pending_delta_batches(self.parent)]
         horizon = min(pending_mor) if pending_mor else None

@@ -484,6 +484,14 @@ class IncrementalView:
         committed = sorted(snap.committed_batches)
         ck = self._load_ckpt()
         consumed = consumed_batch_set(ck, committed)
+        rolled = consumed - set(committed)
+        if rolled:
+            raise ValueError(
+                f"table was rolled back past consumed batches "
+                f"{sorted(rolled)}: this view's state includes their "
+                "effects while the table no longer does — delete the "
+                "state dir and rebuild (rollback_to docs)"
+            )
         last_batch = max(consumed) if consumed else 0
 
         # MATERIALIZATION HORIZON: consume only below the oldest pending

@@ -600,6 +600,9 @@ class LakeTable:
                 f"CLUSTERED BY ({bcols}) INTO {snap.num_buckets} BUCKETS "
                 f"LOCATION '{view}'"
             )
+        if not hasattr(self, "_bucket_view_names"):
+            self._bucket_view_names: set[str] = set()
+        self._bucket_view_names.add(name)
         self._drop_stale_bucket_views(prefix, keep_name=name, keep_view=view)
         bt = self.spark.table(name)
         cmap = self._colmap(snap)
@@ -622,10 +625,20 @@ class LakeTable:
         """Unregister catalog entries and unlink hardlink views from older
         snapshots. Dropping promptly matters: a view's hardlinks keep the
         old snapshot's data-file inodes alive even after compaction
-        deletes the originals."""
-        for t in self.spark.catalog.listTables():
-            if t.name.startswith(prefix) and t.name != keep_name:
-                self.spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        deletes the originals.
+
+        Stale names come from THIS handle's registry, not a
+        ``listTables()`` sweep: a session running many tables (the bench
+        drives 60+ engine queries, each with scratch tables) accumulates
+        catalog entries, and a full listing per merge group made every
+        ``read_bucketed`` O(session catalog) — measured 7x inflation on
+        a replay re-run late in the suite. Another handle's leftover
+        entries are harmless dangles (unique names; their view DIRS are
+        still cleaned below, which is what releases the inodes)."""
+        for t in sorted(getattr(self, "_bucket_view_names", set())):
+            if t != keep_name:
+                self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+                self._bucket_view_names.discard(t)
         view_root = os.path.join(self.path, _META, "bview")
         if self.fs.exists(view_root):
             keep = os.path.basename(keep_view)
@@ -1140,6 +1153,55 @@ class LakeTable:
         if isinstance(old_t, DecimalType) and isinstance(new_t, DecimalType):
             return new_t.scale == old_t.scale and new_t.precision >= old_t.precision
         return False
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Iceberg-style ROLLBACK: commit a NEW snapshot reproducing an
+        older retained snapshot's state (files, history, schema,
+        properties, committed batch ids). History stays linear — the
+        rolled-back snapshots remain on disk for audit until expiry —
+        and the rollback is itself an atomic VERSION flip, so readers
+        see either head or the restored state, never between.
+
+        Batch ids applied after the target LEAVE ``committed_batches``:
+        a corrected batch can re-apply under its original id (exactly-
+        once guards a lineage, not an id forever). The restored
+        snapshot's data files are necessarily still on disk — a
+        snapshot readable here was in every expiry's keep set, and
+        expiry retains kept snapshots' files.
+
+        CONSUMER WARNING: a changelog consumer whose consumed set
+        includes rolled-back batch ids holds their effects in its state
+        while the table no longer does. Consumer refresh detects
+        ``consumed ⊄ committed`` and refuses with a rebuild instruction
+        rather than silently diverging."""
+        self.refresh()
+        parent = self.snapshot
+        if snapshot_id == parent.snapshot_id:
+            return parent
+        old = self.read_snapshot(snapshot_id)  # hydrated: full file maps
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            schema_json=old.schema_json,
+            num_buckets=old.num_buckets,
+            key_cols=old.key_cols,
+            bucket_cols=old.bucket_cols,
+            files={b: list(v) for b, v in old.files.items()},
+            hist_files={b: list(v) for b, v in old.hist_files.items()},
+            file_stats=dict(old.file_stats),
+            committed_batches=list(old.committed_batches),
+            summary={
+                "operation": "rollback",
+                "to": snapshot_id,
+                "committed_at": round(time.time(), 3),
+            },
+            properties=dict(old.properties),
+            hist_manifests=list(old.hist_manifests),
+            bloom_index=list(old.bloom_index),
+        )
+        self._flip_version(snap, expected_parent=parent.snapshot_id)
+        self.snapshot = snap
+        return snap
 
     # Properties the engine itself maintains: user writes through
     # set_properties would corrupt layout/evolution/MoR state.
