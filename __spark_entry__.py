@@ -3259,7 +3259,11 @@ def q63_conversation_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tpc_di_spark.functions.transcripts import assemble_conversations
 
-    ev = _derive_change_events(spark, sf_dir)
+    # ONE exchange serves both stages: HashPartitioning(conv_id)
+    # satisfies the LWW window's ClusteredDistribution(conv_id, turn_idx)
+    # (partition keys ⊆ clustering keys) AND the assembly groupBy — the
+    # same trick the CDC merge uses (bucket_partitioned before lww_dedup).
+    ev = _derive_change_events(spark, sf_dir).repartition("conv_id")
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         F.col("ts").desc(), F.col("cdc_dsn").desc()
     )

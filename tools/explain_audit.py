@@ -35,6 +35,7 @@ AUDITS = [
     ("q60_late_batch_replay", "the SERVING read after out-of-order repair is the standard current-family bucket scan + is_current filter — the supersession anti-join (file-skipped changed-keys scan + one broadcast/shuffle anti-join) was paid at late-apply time and leaves no trace in the read plan"),
     ("q61_scd2_lineage", "the full-lineage read is ONE scan over both file families with a residual batch_id>0 filter (tombstone exclusion) — version chains are materialized by the merge at write time, so lineage service needs no window or join"),
     ("q62_asof_travel", "as-of resolution is metadata-only (a parent-chain walk over snapshot JSONs, no Spark job): the plan is the pinned snapshot's plain current-family scan + is_current filter, identical in shape to a head read"),
+    ("q63_conversation_export", "ONE hash Exchange on conv_id serving BOTH the LWW window (ClusteredDistribution(conv_id, turn_idx) satisfied by the conv_id partitioning) and the assembly groupBy(collect_list -> array_sort/transform/array_join, all JVM) — no UDF, no second shuffle; deliberately UNsalted (the document needs the whole bounded-length conversation on one reducer)"),
 ]
 
 
