@@ -24,6 +24,11 @@ deterministic local protocol:
 
 4. **Observability**: a JSON metrics record per batch (row counts,
    per-bucket lineage, wall time, snapshot id) lands in ``_metrics/``.
+
+5. **Ordering repair**: ``apply_snapshot_batch`` folds late initial-
+   snapshot chunks under tail deletes (DBLog rule); ``apply_late_batch``
+   applies a missed batch after higher-numbered ones under the
+   supersession rule — final current state is arrival-order independent.
 """
 
 from __future__ import annotations
