@@ -3298,6 +3298,62 @@ SELECT conv_id, document, n_turns, CAST(length(document) AS INT) AS n_chars FROM
 """
 
 
+# ---------------------------------------------------------------------------
+# Q64 — snapshot ROLLBACK round-trip (LakeTable.rollback_to): apply
+# batch 1, publish a POISONED batch 2, roll back to the pre-poison
+# snapshot (freeing the batch id), then apply the CORRECT batch 2. The
+# oracle is the plain serial LWW of batches 1+2 — the poisoned interlude
+# must leave ZERO trace in the final live state (wrong text, resurrected
+# keys, or a stale surviving version all go hash-red).
+# ---------------------------------------------------------------------------
+
+def q64_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tpc_di_spark.cdc import CdcOrchestrator, current_state
+    from tpc_di_spark.cdc.orchestrator import bootstrap_table
+    from tpc_di_spark.schemas import TRANSCRIPT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _derive_change_events(spark, sf_dir).withColumn(
+        "_b", (F.expr("cdc_dsn div 7") % 2 + 1).cast("int")
+    )
+    table_dir = _scratch_dir("cdc_q64_")
+    table = bootstrap_table(
+        spark, os.path.join(table_dir, "transcripts"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    orch = CdcOrchestrator(table, buckets_per_group=16)
+    batch = lambda b: ev.filter(F.col("_b") == b).drop("_b")  # noqa: E731
+    orch.apply_batch(batch(1), batch_id=1)
+    good_sid = table.snapshot.snapshot_id
+    poisoned = batch(2).withColumn("text", F.lit("POISONED"))
+    orch.apply_batch(poisoned, batch_id=2)
+    table.rollback_to(good_sid)
+    orch.apply_batch(batch(2), batch_id=2)  # the freed id, corrected
+    return current_state(table).select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+Q64_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 20 = 0 THEN 'D'
+              WHEN event_id % 3 = 0 THEN 'U' ELSE 'I' END AS cdc_flag,
+         event_id AS cdc_dsn,
+         printf('conv-%06d', user_id) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         printf('text u%d t%d e%d', user_id, event_id % 50, event_id) AS text,
+         ts,
+         CAST((event_id // 7) % 2 + 1 AS INT) AS b
+  FROM events),
+w AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, b ORDER BY ts DESC, cdc_dsn DESC) rn
+      FROM ev),
+winners AS (SELECT * FROM w WHERE rn = 1),
+lastb AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY b DESC) rb
+          FROM winners)
+SELECT conv_id, turn_idx, role, text, ts
+FROM lastb
+WHERE rb = 1 AND cdc_flag <> 'D'
+"""
+
+
 # The oracle side runs against the fixed sf0.01 sidecars; regenerate them
 # eagerly at import so Spark/DuckDB can execute in either order.
 try:
@@ -3377,6 +3433,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_scd2_lineage": q61_scd2_lineage,
     "q62_asof_travel": q62_asof_travel,
     "q63_conversation_export": q63_conversation_export,
+    "q64_rollback_replay": q64_rollback_replay,
 }
 
 _ORACLES: dict[str, str] = {
@@ -3447,6 +3504,7 @@ _ORACLES: dict[str, str] = {
     "q61_scd2_lineage": Q61_SQL,
     "q62_asof_travel": Q62_SQL,
     "q63_conversation_export": Q63_SQL,
+    "q64_rollback_replay": Q64_SQL,
 }
 
 
