@@ -114,18 +114,22 @@ class CdcOrchestrator:
             null_key_policy=self.null_key_policy,
         )
 
-    def _account_input(self, events: DataFrame, batch_id: int):
-        """Input accounting: (events, n_events, n_null_key) in AT MOST one
-        job. With count_input, ONE aggregate computes the total and the
-        NULL-key count together (replacing the old bare count()); without
-        it, no job runs and both come back None (documented: the bench's
-        zero-extra-job contract skips validation with the count). The
-        "drop" policy's filter costs nothing either way — it rides the
-        scan the dedup pass makes anyway."""
+    def _key_null_expr(self):
         key_null = None
         for k in self.table.key_cols:
             c = F.col(k).isNull()
             key_null = c if key_null is None else (key_null | c)
+        return key_null
+
+    def _account_input(self, events: DataFrame, batch_id: int):
+        """EAGER input accounting: (events, n_events, n_null_key) in AT
+        MOST one job. Used by the exception paths (snapshot handover,
+        late repair) whose early ``limit(1).count()`` guard actions would
+        corrupt a lazy Observation (a limit can stop before scanning
+        every row, so observed metrics from that action undercount). The
+        hot ``apply_batch`` path uses :meth:`_lazy_account_input` — same
+        numbers, ZERO extra pass."""
+        key_null = self._key_null_expr()
         n_events = n_null = None
         if self.count_input:
             row = events.agg(
@@ -133,17 +137,68 @@ class CdcOrchestrator:
                 F.coalesce(F.sum(key_null.cast("long")), F.lit(0)).alias("nn"),
             ).collect()[0]
             n_events, n_null = row["n"], row["nn"]
-            if n_null and self.null_key_policy == "error":
-                raise ValueError(
-                    f"batch {batch_id}: {n_null} events carry NULL business-"
-                    f"key columns ({list(self.table.key_cols)}) — upstream "
-                    "garbage an equi-join merge can never match again. Fix "
-                    "the source, or construct the orchestrator with "
-                    "null_key_policy='drop' to filter and count them."
-                )
+            self._check_null_policy(n_null, batch_id)
         if self.null_key_policy == "drop":
             events = events.filter(~key_null)
         return events, n_events, n_null
+
+    def _lazy_account_input(self, events: DataFrame):
+        """Zero-extra-job input accounting for the hot apply path: attach
+        an :class:`pyspark.sql.Observation` computing (total, null-key
+        count) INSIDE whatever job first materializes the batch (the
+        grouped path's bucket-count job, or the single-group path's merge
+        write) instead of running a dedicated ``agg().collect()`` pass
+        over the source — at sf0.1 that pass was ~40% of a batch's wall
+        time, and at scale it is a full extra read of the change stream.
+        Resolve with :meth:`_resolve_accounting` after the first action.
+        The "drop" policy's filter sits ABOVE the observation so dropped
+        rows still count (events_in is the pre-drop total, as before)."""
+        if not self.count_input:
+            if self.null_key_policy == "drop":
+                events = events.filter(~self._key_null_expr())
+            return events, None
+        from pyspark.sql import Observation
+
+        key_null = self._key_null_expr()
+        obs = Observation()
+        events = events.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(key_null.cast("long")), F.lit(0)).alias("nn"),
+        )
+        if self.null_key_policy == "drop":
+            events = events.filter(~key_null)
+        return events, obs
+
+    def _resolve_accounting(self, obs, batch_id: int, ensure: DataFrame | None = None):
+        """Read a :meth:`_lazy_account_input` observation after an action
+        materialized the observed plan. ``ensure`` forces a materializing
+        action first — only the resumed single-group path needs it (its
+        manifest made the write a no-op, so no job ran over the events).
+        Enforces the same null_key_policy='error' contract as the eager
+        path: the batch still fails BEFORE its atomic commit, so no bad
+        state becomes visible (the error now surfaces after the merge
+        compute instead of before it)."""
+        if obs is None:
+            return None, None
+        if isinstance(obs, tuple):  # eager_accounting already resolved
+            return obs
+        if ensure is not None:
+            ensure.count()
+        row = obs.get
+        n_events, n_null = row["n"], row["nn"]
+        self._check_null_policy(n_null, batch_id)
+        return n_events, n_null
+
+    def _check_null_policy(self, n_null, batch_id: int) -> None:
+        if n_null and self.null_key_policy == "error":
+            raise ValueError(
+                f"batch {batch_id}: {n_null} events carry NULL business-"
+                f"key columns ({list(self.table.key_cols)}) — upstream "
+                "garbage an equi-join merge can never match again. Fix "
+                "the source, or construct the orchestrator with "
+                "null_key_policy='drop' to filter and count them."
+            )
 
     # ------------------------------------------------------------ utilities
     def _staging_dir(self, batch_id: int) -> str:
@@ -295,7 +350,15 @@ class CdcOrchestrator:
 
         self._maybe_evolve(events, batch_id)
         events = align_events(events, self.table)
-        events, n_events, n_null = self._account_input(events, batch_id)
+        if getattr(self, "eager_accounting", False):
+            # foreachBatch micro-batch plans break CollectMetrics (the
+            # stream execution thread stack-overflows re-planning the
+            # observed node), so streaming drivers opt back into the
+            # eager one-job accounting (streaming/stream_apply.py).
+            events, n_eager, nn_eager = self._account_input(events, batch_id)
+            obs = (n_eager, nn_eager)
+        else:
+            events, obs = self._lazy_account_input(events)
 
         # ONE exchange for the whole batch: repartition the events to the
         # table's bucket layout BEFORE the LWW groupBy. The groupBy's
@@ -321,27 +384,35 @@ class CdcOrchestrator:
             # buckets anyway (bulk replays, benches); bucket-pruned multi-
             # group mode remains the default for sparse batches.
             return self._apply_single_group(
-                events, deduped, batch_id, n_events, t0, n_null=n_null
+                events, deduped, batch_id, obs, t0
             )
 
         try:
+            # Persist BEFORE the bucket-count job so that ONE pass
+            # computes the dedup DAG: the count materializes the cache
+            # and every group's merge reads from it. (The old order —
+            # persist after the count, only for multi-group batches —
+            # recomputed the full upstream DAG once for the count and
+            # again for the first group; for changelog-derived batches
+            # that DAG is itself joins over the parent table.) At
+            # cluster scale this caches the batch (<= events), never the
+            # table.
+            deduped.persist()
             # One job yields both the touched-bucket set and per-bucket
             # event counts (metadata-sized collect: <= num_buckets rows).
             bucket_counts = {
                 r[0]: r[1]
                 for r in deduped.groupBy(LakeTable.BUCKET_COL).count().collect()
             }
+            # That job materialized the observed events, so the input
+            # accounting resolves here at zero extra cost — and the
+            # null_key_policy='error' check still fires BEFORE any write.
+            n_events, n_null = self._resolve_accounting(obs, batch_id)
             touched = sorted(bucket_counts)
             groups = [
                 touched[i : i + self.buckets_per_group]
                 for i in range(0, len(touched), self.buckets_per_group)
             ]
-            # Cache the deduped batch only when several groups will reuse
-            # it; with one group a persist is a pure extra write+read. At
-            # cluster scale this caches the batch (<= events), never the
-            # table.
-            if len(groups) > 1:
-                deduped.persist()
             staging = self._staging_dir(batch_id)
             self.table.fs.makedirs(staging)
 
@@ -465,11 +536,14 @@ class CdcOrchestrator:
         return record
 
     def _apply_single_group(
-        self, events, deduped, batch_id, n_events, t0, n_null=None
+        self, events, deduped, batch_id, obs, t0
     ) -> dict:
         """One-pass apply of a batch that spans (potentially) every bucket.
         Same checkpoint manifest + atomic commit as the grouped path; the
-        resume granularity is the whole batch."""
+        resume granularity is the whole batch. ``obs`` is the lazy input-
+        accounting observation — it resolves off the merge write itself
+        (the batch's ONLY pass over the events), and the null-key error
+        policy is enforced before the atomic commit."""
         staging = self._staging_dir(batch_id)
         self.table.fs.makedirs(staging)
         manifest_path = os.path.join(staging, "group-000.done.json")
@@ -531,6 +605,13 @@ class CdcOrchestrator:
                     "geometry": geometry,
                 }),
             )
+        # The write above (or, on resume, a forced pass — the manifest
+        # made the write a no-op, so nothing materialized the events yet)
+        # resolves the lazy accounting; the error policy still fires
+        # before the commit below, so no bad state becomes visible.
+        n_events, n_null = self._resolve_accounting(
+            obs, batch_id, ensure=events if resumed else None
+        )
 
         # Every pre-existing CURRENT-family bucket was merged (and may
         # have lost all its rows to deletes), so the replaced set is

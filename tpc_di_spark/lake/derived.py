@@ -106,7 +106,17 @@ class DerivedTableSync:
         bad = reserved & set(self.select_exprs)
         if bad:
             raise ValueError(f"{sorted(bad)} pass through implicitly; do not remap")
-        self.orch = child_orchestrator or CdcOrchestrator(child)
+        # Default child orchestrator runs the SINGLE-GROUP fast path: a
+        # refresh consumes a whole committed batch range whose keys are
+        # hash-spread over every bucket, so bucket-pruned grouping buys
+        # nothing while its touched-bucket discovery job re-computes the
+        # changelog-derivation DAG once more. Single-group applies the
+        # child batch in exactly ONE pass (derive -> dedup shuffle ->
+        # merge -> write). Callers with genuinely sparse parents can still
+        # pass a grouped ``child_orchestrator``.
+        self.orch = child_orchestrator or CdcOrchestrator(
+            child, buckets_per_group=child.num_buckets
+        )
         self.fs = parent.fs
         self.fs.makedirs(state_dir)
 
@@ -136,6 +146,10 @@ class DerivedTableSync:
         if consumed is not None:
             out["consumed"] = sorted(consumed)
         return out
+
+    def _after_apply(self, rec: dict, events: DataFrame) -> None:
+        """Hook between the child apply and the checkpoint flip (see
+        refresh); the base sync needs nothing here."""
 
     def _upsert_events(self, matched: DataFrame, payload: list[str]) -> DataFrame:
         """Map the range's live, filter-passing row versions to child 'I'
@@ -271,6 +285,11 @@ class DerivedTableSync:
         # re-derives the same events and no-ops; the checkpoint flips
         # only after the apply committed.
         rec = self.orch.apply_batch(events, batch_id=upto)
+        # Subclass hook, called after the apply and before the checkpoint
+        # flip: IvfIndexSync resolves its lazy drift observation here
+        # (and forces a pass when the apply was an already-committed
+        # no-op, so the observation cannot block).
+        self._after_apply(rec, events)
         new_ck = json.dumps(
             self._ckpt_payload(upto, snap, ck, consumed=consumed | set(pending))
         )

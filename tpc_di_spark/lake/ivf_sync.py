@@ -102,7 +102,17 @@ class IvfIndexSync(DerivedTableSync):
     def _upsert_events(self, matched: DataFrame, payload: list[str]) -> DataFrame:
         """Assign ONLY the range's changed live vectors (O(changed)
         exact-DECIMAL distance work) and measure reassignment drift with
-        one column-pruned scan of the index's (key, centroid_id)."""
+        one column-pruned scan of the index's (key, centroid_id).
+
+        Drift accounting is a lazy :class:`~pyspark.sql.Observation`
+        computed INSIDE the index apply's own merge job (the left join
+        against the index's live (key, centroid_id) is one-row-per-key,
+        so it cannot change event cardinality): the old eager
+        ``agg().collect()`` here re-computed the whole changelog-
+        derivation DAG one extra time per refresh. Resolution happens in
+        :meth:`_after_apply`, before the checkpoint flip."""
+        from pyspark.sql import Observation
+
         assigned = ivf_assign(
             matched.select(self.key, self.vec_col), self.key, self.vec_col,
             self.centroids,
@@ -114,23 +124,41 @@ class IvfIndexSync(DerivedTableSync):
             .filter(F.col("is_current"))
             .select(F.col(self.key), F.col("centroid_id").alias("_prev"))
         )
-        s = (
-            rows.join(prev, self.key, "left")
-            .agg(
-                F.count(F.lit(1)).alias("assigned"),
-                F.sum(
-                    F.when(F.col("_prev").isNotNull(), 1).otherwise(0)
-                ).alias("existed"),
-                F.sum(
-                    F.when(
-                        F.col("_prev").isNotNull()
-                        & (F.col("_prev") != F.col("centroid_id")),
-                        1,
-                    ).otherwise(0)
-                ).alias("moved"),
-            )
-            .collect()[0]
+        obs = Observation()
+        observed = rows.join(prev, self.key, "left").observe(
+            obs,
+            F.count(F.lit(1)).alias("assigned"),
+            F.sum(
+                F.when(F.col("_prev").isNotNull(), 1).otherwise(0)
+            ).alias("existed"),
+            F.sum(
+                F.when(
+                    F.col("_prev").isNotNull()
+                    & (F.col("_prev") != F.col("centroid_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("moved"),
         )
+        self._pending_obs = obs
+        return observed.select(
+            F.lit("I").alias("cdc_flag"),
+            F.col("batch_id").cast("long").alias("cdc_dsn"),
+            F.col(self.key),
+            F.col("centroid_id"),
+            F.col("ts"),
+        )
+
+    def _after_apply(self, rec: dict, events: DataFrame) -> None:
+        """Resolve the drift observation once the apply's job has run.
+        An already-committed (resumed) apply runs no job, so force one
+        pass first — the observation would otherwise block forever."""
+        obs = getattr(self, "_pending_obs", None)
+        if obs is None:
+            return
+        self._pending_obs = None
+        if rec.get("skipped"):
+            events.count()
+        s = obs.get
         self._pending_stats = {
             "assigned": s["assigned"],
             "reassigned": int(s["moved"] or 0),
@@ -138,13 +166,6 @@ class IvfIndexSync(DerivedTableSync):
                 (s["moved"] or 0) / s["existed"] if s["existed"] else 0.0
             ),
         }
-        return rows.select(
-            F.lit("I").alias("cdc_flag"),
-            F.col("batch_id").cast("long").alias("cdc_dsn"),
-            F.col(self.key),
-            F.col("centroid_id"),
-            F.col("ts"),
-        )
 
     def _ckpt_payload(
         self, upto: int, snap, ck: dict | None, consumed: list[int] | None = None

@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark's per-API-call site capture (error-message enrichment)
+        # walks the Python stack AND makes a py4j round trip on EVERY
+        # DataFrame/Column call — the engine's plan builders issue tens of
+        # thousands per replay, a pure driver-side fixed cost that does
+        # not shrink with executor count. Error messages lose only the
+        # user-code line pointer; stack traces are unaffected.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # zstd over snappy: ~2x fewer bytes per table rewrite for moderate
         # CPU. Compression CPU scales with cores; disk/NIC bandwidth is a

@@ -102,6 +102,11 @@ def start_cdc_stream(
             "must land somewhere an operator can inspect and replay"
         )
 
+    # Micro-batch DataFrames break the orchestrator's lazy Observation
+    # accounting (CollectMetrics inside an incremental-execution plan
+    # stack-overflows the stream thread) — use the eager one-job path.
+    orchestrator.eager_accounting = True
+
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         bid = base_batch_id + int(epoch_id)
         if transform is not None:
@@ -118,11 +123,13 @@ def start_cdc_stream(
             from tpc_di_spark.lake.wap import AuditFailed, WapBranch
 
             wap = WapBranch.begin(orchestrator.table, f"epoch-{int(epoch_id):06d}")
-            CdcOrchestrator(
+            staged_orch = CdcOrchestrator(
                 wap.staged,
                 buckets_per_group=orchestrator.buckets_per_group,
                 count_input=orchestrator.count_input,
-            ).apply_batch(batch_df, bid)
+            )
+            staged_orch.eager_accounting = True  # micro-batch plan (see above)
+            staged_orch.apply_batch(batch_df, bid)
             try:
                 wap.audit(audit_checks)
                 wap.publish()
@@ -180,6 +187,9 @@ def start_cdc_multi_stream(
     catalog readers meanwhile stay on the previous trigger's snapshots.
     """
     from tpc_di_spark.lake.catalog import apply_batch_atomic
+
+    for _orch, _route in work.values():
+        _orch.eager_accounting = True  # micro-batch plan (see start_cdc_stream)
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         bid = base_batch_id + int(epoch_id)
