@@ -26,6 +26,24 @@ def normalize_text(c) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
 
 
+def spread_small_input(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition a NARROW input up to the session's parallelism before
+    heavy per-row compute (tokenization, shingling, hyperplane dots).
+
+    A small corpus arrives as one parquet file -> ONE scan partition, and
+    every downstream expression then runs single-threaded (measured: q23's
+    5000-doc shingle pass was a 5.5s single-task stage on a 32-core
+    session). Scale-adaptive: inputs already at/above the session's
+    parallelism pass through untouched — at 100TB the scan is thousands of
+    partitions and this is a no-op. Hash-partitioned on the id (not
+    round-robin) so the shuffle is deterministic under task retries and a
+    downstream groupBy(id) can reuse the exchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the smallest id per identical normalized text. One shuffle."""
     fp = F.xxhash64(normalize_text(F.col(text_col))).alias("fp")
@@ -48,7 +66,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
-    return df.select(
+    return spread_small_input(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(F.array_distinct(ngrams)).alias("shingle")
     )
 
@@ -65,7 +83,16 @@ def ngram_jaccard_pairs(
     bounded by shingle-bucket co-occurrence, not |corpus|^2; at web scale
     run it behind MinHash-LSH candidates instead.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    # Persist the shingle set: it feeds FOUR otherwise-independent
+    # subtrees (both self-join sides + both size lookups), and Catalyst
+    # does not reuse exchanges across broadcast builds — without the
+    # cache the regex tokenization + shingling (the dominant per-row
+    # compute) runs four times per invocation (plan-verified:
+    # plans/r07/q23_before.txt has four Generate+Scan subtrees).
+    # MEMORY_AND_DISK, sized O(corpus shingles) — fine at the small/
+    # medium scale this exact verifier is documented for; the 100TB path
+    # is MinHash-LSH.
+    sh = word_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -119,9 +146,16 @@ def minhash_signatures(
         for k in range(num_hashes)
     ]
     sig = sh.groupBy("doc").agg(*mins)
+    # Persist the signatures: one row per doc (num_hashes longs — tiny
+    # relative to the corpus), but the DAG above them (shingle explode +
+    # 64 min-aggregations) is the pipeline's dominant compute, and every
+    # downstream composition reads them several times (the LSH self-join
+    # builds its broadcast side separately, and the Jaccard estimate
+    # joins them twice more) — without the cache each read re-runs the
+    # whole signature computation.
     return sig.select(
         "doc", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("signature")
-    )
+    ).persist()
 
 
 def lsh_candidate_pairs(
@@ -147,7 +181,11 @@ def lsh_candidate_pairs(
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket")) for b in range(bands)])
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket").persist()
+    # Persisted: the self-join's probe and (broadcast) build sides are
+    # independent subtrees to Catalyst, so without the cache the banding
+    # — and the signature DAG underneath when the caller's signatures
+    # aren't cached — computes twice.
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(
@@ -193,7 +231,7 @@ def simhash64(
     hash is 60 bits wide, see ``md5_hash64``) — bit-identical in DuckDB,
     so the full signature is oracle-checkable; xxhash64 remains the
     64-bit default at scale."""
-    toks = df.select(
+    toks = spread_small_input(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     )
@@ -249,7 +287,10 @@ def simhash_near_dup_pairs(
     ]
     stacked = signatures.select(
         F.col(id_col).alias("doc"), sig.alias("_sig"), F.explode(F.array(*slice_structs)).alias("sl")
-    ).select("doc", "_sig", "sl.slice", "sl.val")
+    ).select("doc", "_sig", "sl.slice", "sl.val").persist()
+    # Persisted for the same reason as lsh_candidate_pairs: the self-
+    # join's two sides would otherwise re-run the SimHash aggregation
+    # (64 signed sums over exploded tokens) once each.
     a, b = stacked.alias("a"), stacked.alias("b")
     cands = (
         a.join(

@@ -67,8 +67,14 @@ def ivf_assign(
     """Nearest-centroid assignment (``keep_rank=1``) or the ``keep_rank``
     nearest cells (the query-side nprobe expansion). Ties break on the
     lower centroid id."""
+    from tpc_di_spark.operators.dedup import spread_small_input
+
     spark = emb.sparkSession
     cents = _centroid_df(spark, centroids)
+    # Single-file corpora scan as ONE partition, serializing the nlist x
+    # dim exact-DECIMAL distance work; spread is a no-op for inputs
+    # already at the session's parallelism (see spread_small_input).
+    emb = spread_small_input(emb, id_col)
     j = emb.crossJoin(F.broadcast(cents)).withColumn(
         "_dist", _sq_dist(F.col(vec_col), F.col("centroid"))
     )
@@ -96,12 +102,24 @@ def ivf_topk(
     # they would be recomputed per candidate pair (3x the exact-decimal
     # work); same expression on the same vector, so cosines stay
     # bit-identical.
-    lists = ivf_assign(emb, id_col, vec_col, centroids, keep_rank=1).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "centroid_id"
-    ).withColumn("_nc", _norm(F.col("cv")))
-    probes = ivf_assign(emb, id_col, vec_col, centroids, keep_rank=nprobe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "centroid_id"
-    ).withColumn("_nq", _norm(F.col("qv")))
+    # ONE assignment pass serves both sides: the inverted lists are
+    # exactly the probe expansion's rank-1 rows (same window, same tie
+    # break), so computing keep_rank=nprobe once and filtering is bit-
+    # identical to two ivf_assign calls — and halves the corpus x nlist
+    # exact-DECIMAL distance work, which dominates this operator.
+    # Persisted because the cell join's two sides are independent
+    # subtrees to Catalyst.
+    assigned = ivf_assign(
+        emb, id_col, vec_col, centroids, keep_rank=nprobe
+    ).withColumn("_n", _norm(F.col(vec_col))).persist()
+    lists = assigned.filter(F.col("probe_rank") == 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        "centroid_id", F.col("_n").alias("_nc"),
+    )
+    probes = assigned.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        "centroid_id", F.col("_n").alias("_nq"),
+    )
     cands = probes.join(lists, ["centroid_id"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )

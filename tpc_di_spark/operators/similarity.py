@@ -201,9 +201,17 @@ def lsh_bucketed_topk(
         raise ValueError("probe_bits supports 0 (exact bucket) or 1 (flip each bit)")
     cands = None
     for t in range(tables):
+        from tpc_di_spark.operators.dedup import spread_small_input
+
         bk = hyperplane_buckets(
-            emb, id_col, vec_col, bits=bits, seed=7 + t, dim=dim
+            spread_small_input(emb, id_col), id_col, vec_col, bits=bits,
+            seed=7 + t, dim=dim,
         ).withColumn("_nrm", _norm(F.col(vec_col)))  # once per vector, not per pair
+        # Persist per table: the per-bucket self-join's probe and build
+        # sides are independent subtrees, so without the cache the
+        # bits x exact-DECIMAL hyperplane projections (+ the norm fold)
+        # run twice per table over the whole corpus.
+        bk = bk.persist()
         a = bk.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
             F.col("_nrm").alias("_nq"), "bucket",
