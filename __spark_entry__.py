@@ -1105,6 +1105,14 @@ def q39_fact_market_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tpc_di_spark.operators.windows import top1_per_key
 
     o = _t(spark, sf_dir, "orders")
+    # Spread the one-file scan before the symbol/price projections so the
+    # per-row expression work parallelizes (the raw scan is a single
+    # task), and persist `daily`: three independent subtrees consume it
+    # (the 52-week window, the EPS band join's distinct dates, and the
+    # dividend lookup) — without the cache each re-ran the scan + top-1
+    # window.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    o = o.repartition(n_parts, F.col("o_orderkey"))
     daily = top1_per_key(
         o.select(
             F.format_string("S%03d", F.col("o_custkey") % 37).alias("dm_s_symb"),
@@ -1116,7 +1124,7 @@ def q39_fact_market_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["dm_s_symb", "dm_date"],
         [F.col("o_orderkey")],
-    ).drop("o_orderkey")
+    ).drop("o_orderkey").persist()
     fin = o.filter(F.col("o_orderkey") % 7 == 0).select(
         F.format_string("S%03d", F.col("o_custkey") % 37).alias("dm_s_symb"),
         F.col("o_orderdate").alias("qtr_start_date"),

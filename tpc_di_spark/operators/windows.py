@@ -14,6 +14,23 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def keyed_partitions(df: DataFrame, *key_cols) -> DataFrame:
+    """EXPLICIT keyed repartition feeding a compute-heavy window.
+
+    A window already forces one hash exchange on its partition keys, but
+    AQE coalesces that exchange's read side by BYTES — and a trailing
+    range-frame window's cost is per-frame COMPUTE, not bytes, so a few-
+    MB shuffle collapses to 2-3 tasks while each task replays O(rows x
+    frame) aggregate evaluations (measured on q39: the 52-week extreme
+    stage ran 2 tasks on a 32-core session). An explicit numPartitions
+    repartition is the documented AQE escape hatch (user-specified
+    repartitions are never coalesced); the count stays the session's
+    shuffle-partition setting, so cluster deployments keep their knob and
+    the shuffle itself is the same one the window needed anyway."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) if isinstance(c, str) else c for c in key_cols])
+
+
 def running_balance(
     df: DataFrame,
     part_cols: Sequence[str],
@@ -80,6 +97,7 @@ def trailing_extreme_with_argdate(
     lower = -days * 86_400_000_000 + (1 if lower_exclusive else 0)
     w = Window.partitionBy(key_col).orderBy(us).rangeBetween(lower, 0)
     ext_value, ext_us = _trailing_extreme_exprs(us, value_col, extreme, w)
+    df = keyed_partitions(df, key_col)  # AQE-proof parallelism (see helper)
     return df.select(
         F.col(key_col),
         F.col(date_col),
@@ -140,7 +158,7 @@ def trailing_extremes(
     us = F.unix_micros(F.col(date_col).cast("timestamp"))
     lower = -days * 86_400_000_000 + (1 if lower_exclusive else 0)
     w = Window.partitionBy(key_col).orderBy(us).rangeBetween(lower, 0)
-    out = df
+    out = keyed_partitions(df, key_col)  # AQE-proof parallelism (see helper)
     for value_col, extreme, value_name, date_name in specs:
         ext_value, ext_us = _trailing_extreme_exprs(us, value_col, extreme, w)
         out = out.withColumns(
@@ -177,6 +195,7 @@ def trailing_sum_ratio(
         .rangeBetween(-days * 86_400_000_000, -1)
     )
     tsum = F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast("double")
+    df = keyed_partitions(df, key_col)  # AQE-proof parallelism (see helper)
     return df.select(
         F.col(key_col),
         F.col(date_col),

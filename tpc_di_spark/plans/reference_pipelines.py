@@ -549,11 +549,23 @@ def build_fact_market_history(
         days=365, lower_exclusive=True,
     )
 
-    fin = financials.select(
-        F.col("dm_s_symb"), F.col("qtr_start_date"), F.col("eps").cast("decimal(18,4)").alias("_eps")
+    from tpc_di_spark.operators.windows import keyed_partitions
+
+    # Explicit keyed repartition on both band-join sides: the join's cost
+    # is the per-pair range predicate inside each symbol (compute, not
+    # bytes), so AQE's byte-based coalescing collapsed it to 2 tasks on a
+    # 32-core session — the same escape hatch as the trailing windows
+    # (operators/windows.keyed_partitions).
+    fin = keyed_partitions(
+        financials.select(
+            F.col("dm_s_symb"), F.col("qtr_start_date"), F.col("eps").cast("decimal(18,4)").alias("_eps")
+        ),
+        "dm_s_symb",
     )
     eps = (
-        daily_market.select("dm_s_symb", "dm_date").distinct()
+        keyed_partitions(
+            daily_market.select("dm_s_symb", "dm_date").distinct(), "dm_s_symb"
+        )
         .join(
             fin,
             (daily_market.dm_s_symb == fin.dm_s_symb)
