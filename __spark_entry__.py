@@ -510,6 +510,13 @@ FROM v
 
 def _derive_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    # The one-file events scan is a single task, so the printf/format
+    # projections below would run single-threaded in front of EVERY
+    # batch's apply; spread first (deterministic key, no-op once the
+    # scan is already at session parallelism).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if e.rdd.getNumPartitions() < n_parts:
+        e = e.repartition(n_parts, F.col("event_id"))
     eid = F.col("event_id")
     turn = (eid % 50).cast("int")
     return e.select(

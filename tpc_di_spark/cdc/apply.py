@@ -134,7 +134,16 @@ def merge_batch_rows(
     # as insert-only rows a `not_null` WAP audit or the orchestrator's
     # null_key_policy can catch). Pure projection: no extra Exchange.
     t = target.withColumn("_t_present", F.lit(True)).alias("t")
-    s = events.withColumn("_s_present", F.lit(True)).alias("s")
+    # SHUFFLE_HASH on the events side: a full-outer SMJ would SORT both
+    # sides in every merge task (the bucketed scan is unsorted, and the
+    # LWW aggregate's output is too) — two O(rows log rows) passes per
+    # batch whose only purpose is feeding the join. The shuffled-hash
+    # form builds a hash table over the deduped batch slice (bounded by
+    # the batch, never the table) and streams the target once, sort-
+    # free. Distribution requirements are identical, so the merge stays
+    # Exchange-free (bucketed scan + bucket_partitioned events); the
+    # hint only swaps the physical operator.
+    s = events.withColumn("_s_present", F.lit(True)).hint("shuffle_hash").alias("s")
     cond = F.col("t.is_current")
     for k in key:
         cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
