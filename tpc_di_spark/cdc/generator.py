@@ -21,6 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 BASE_EPOCH = 1_700_000_000  # 2023-11-14 22:13:20 UTC; fixed for determinism
 
 
+def _conv_id(conv):
+    """``format_string('conv-%06d', conv)`` without java.util.Formatter:
+    printf-style formatting allocates a Formatter + argument boxing per
+    row and was the hottest expression in the generation stage (string
+    building is the generator's memory-bandwidth cost; at 8 concurrent
+    tasks per-task run time inflated 1.7x). concat+lpad is codegen-
+    friendly and byte-identical for non-negative ids; ids over 6 digits
+    keep their full decimal form exactly like %06d."""
+    s = conv.cast("string")
+    return F.concat(F.lit("conv-"), F.when(F.length(s) > 6, s).otherwise(F.lpad(s, 6, "0")))
+
+
+def _dec(c):
+    return c.cast("string")
+
+
 def _u(col_id, salt: str):
     """Deterministic uniform-ish variate in [0,1) from the row id."""
     return (F.pmod(F.xxhash64(col_id, F.lit(salt)), F.lit(1_000_000_007)) / F.lit(1_000_000_007.0))
@@ -31,11 +47,16 @@ def _payload_text(conv, turn, batch_id, rid, text_repeat: int):
     filler sentence so payload bytes approximate real transcript turns
     (hundreds of chars) instead of tag-sized strings; the unique prefix
     keeps per-turn equality checks meaningful."""
-    tag = F.format_string("text c%d t%d b%d s%d", conv, turn, F.lit(batch_id), rid)
+    # concat of decimal casts == the old format_string("%d") byte-for-
+    # byte, minus the per-row java.util.Formatter (see _conv_id).
+    tag = F.concat(
+        F.lit("text c"), _dec(conv), F.lit(" t"), _dec(turn),
+        F.lit(" b"), _dec(F.lit(batch_id)), F.lit(" s"), _dec(rid),
+    )
     if text_repeat <= 0:
         return tag
     filler = F.repeat(
-        F.format_string(" lorem ipsum turn token %d", F.pmod(rid, F.lit(97))),
+        F.concat(F.lit(" lorem ipsum turn token "), _dec(F.pmod(rid, F.lit(97)))),
         text_repeat,
     )
     return F.concat(tag, filler)
@@ -57,7 +78,7 @@ def historical_batch(
     return df.select(
         F.lit("I").alias("cdc_flag"),
         F.col("id").alias("cdc_dsn"),
-        F.format_string("conv-%06d", conv).alias("conv_id"),
+        _conv_id(conv).alias("conv_id"),
         turn.alias("turn_idx"),
         F.element_at(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
@@ -110,7 +131,7 @@ def incremental_batch(
     cols = [
         flag.alias("cdc_flag"),
         rid.alias("cdc_dsn"),
-        F.format_string("conv-%06d", conv).alias("conv_id"),
+        _conv_id(conv).alias("conv_id"),
         turn.alias("turn_idx"),
         F.element_at(
             F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
@@ -122,7 +143,7 @@ def incremental_batch(
         cols.append(
             F.when(
                 F.pmod(F.xxhash64(rid, F.lit("tool?")), F.lit(4)) == 0,
-                F.format_string("tool_%d", F.pmod(F.xxhash64(rid, F.lit("toolid")), F.lit(8))),
+                F.concat(F.lit("tool_"), _dec(F.pmod(F.xxhash64(rid, F.lit("toolid")), F.lit(8)))),
             ).alias("tool")
         )
     cols.append(F.timestamp_seconds(base + rid).alias("ts"))
