@@ -297,3 +297,38 @@ def test_widening_indexed_column_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="Bloom-indexed column"):
         t.evolve_schema(widened)
+
+
+def test_probe_loads_sidecars_lazily(spark, tmp_path):
+    """VERDICT r06 #2: probe-time driver allocation must be bounded by
+    the sidecars a lookup actually consults, not by every covered file —
+    constructing the probe reads no sidecar bytes, and a probe decodes
+    each consulted sidecar exactly once (memoized)."""
+    t = make_table(spark, tmp_path / "t")
+    for lo in range(0, 40, 10):
+        t.append(mkrows(spark, range(lo, lo + 10), 3))
+    n_sidecars = len(t.snapshot.bloom_index)
+    assert n_sidecars == 4
+
+    reads: list[str] = []
+    orig = t.fs.read_text
+
+    def counting_read(path):
+        if "bloom-" in path:
+            reads.append(path)
+        return orig(path)
+
+    t.fs.read_text = counting_read
+    try:
+        probe = t._bloom_probe(t.snapshot)
+        assert reads == []  # construction is metadata-only
+        got = t.lookup_by("conv_id", ["conv-0015"]).collect()
+        assert len(got) == 3
+        # every consulted sidecar decoded at most once
+        assert 0 < len(reads) <= n_sidecars
+        assert len(set(reads)) == len(reads)
+        n_first = len(reads)
+        t.lookup_by("conv_id", ["conv-0015"]).collect()
+        assert len(reads) == n_first  # memoized across probes (same snapshot)
+    finally:
+        t.fs.read_text = orig

@@ -137,3 +137,20 @@ def test_rollback_to_restores_state_and_batch_ids(spark, tmp_path):
     )
     orch.apply_batch(fixed, 2)
     assert current_state(table).filter("text = 'fixed'").count() == 1
+
+    # ADVICE r06: a consumer that folded the POISONED batch 2 and
+    # refreshes only AFTER the re-apply sees consumed ⊆ committed again;
+    # the rollback-invalidation log must still make it refuse (skipping
+    # batch 2 as already-consumed would silently keep poisoned effects).
+    with _pytest.raises(ValueError, match="re-applied|rolled back"):
+        view.refresh()
+
+    # A FRESH consumer built after the re-apply folds the corrected
+    # lineage and is not haunted by the old invalidation.
+    view2 = IncrementalView(
+        table, str(tmp_path / "v2"), ["role"], [("count_live", None, "live_turns")]
+    )
+    view2.refresh()
+    total = sum(r["live_turns"] for r in view2.state().collect())
+    assert total == current_state(table).count()
+    view2.refresh()  # idempotent no-op with the recorded epoch

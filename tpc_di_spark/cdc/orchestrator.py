@@ -287,10 +287,20 @@ class CdcOrchestrator:
         # by one knob.
         if self.table.snapshot.properties.get("index.bloom.column"):
             from tpc_di_spark.lake.maintenance import consolidate_blooms
+            from tpc_di_spark.lake.table import CommitConflict
 
-            brec = consolidate_blooms(
-                self.table, max_sidecars=max(self.auto_compact_files_per_bucket, 4)
-            )
+            try:
+                brec = consolidate_blooms(
+                    self.table, max_sidecars=max(self.auto_compact_files_per_bucket, 4)
+                )
+            except CommitConflict:
+                # Opportunistic maintenance racing a duelling writer: the
+                # BATCH already committed, so surfacing the conflict here
+                # would make a successful apply look failed to callers
+                # (aborting run_replay mid-run). Record and move on — the
+                # next batch's trigger retries consolidation.
+                record["auto_consolidate_blooms"] = {"skipped": "commit-conflict"}
+                return
             if brec.get("consolidated"):
                 record["auto_consolidate_blooms"] = brec
 
@@ -897,14 +907,28 @@ class CdcOrchestrator:
         "repair window passed" must be an error, not a silent wrong
         answer)."""
         from tpc_di_spark.lake.changelog import (
+            _closing_batch_of,
             changed_keys_since,
             rows_closed_in,
             rows_created_in,
         )
-        from tpc_di_spark.lake.incremental_view import needs_per_batch_fallback
 
         key = list(self.table.key_cols)
-        if not needs_per_batch_fallback(self.table, None):
+        # Gate the fast path STRUCTURALLY, not via retained snapshot
+        # history: a compaction erases closing tags from the files it
+        # rewrites, and once expire_snapshots drops the compaction
+        # snapshot the history-based trigger goes blind — the fast path
+        # would then include unknown-closing-tag files wholesale and
+        # wrongly supersede (silently drop) legitimate late events. Any
+        # history file whose rel carries no closing-batch tag forces the
+        # exact per-batch reconstruction, regardless of what history
+        # still shows.
+        tags_intact = all(
+            _closing_batch_of(rel) is not None
+            for fl in self.table.snapshot.hist_files.values()
+            for rel in fl
+        )
+        if tags_intact:
             return changed_keys_since(self.table, batch_id).select(*key)
         after = [
             b for b in sorted(self.table.snapshot.committed_batches) if b > batch_id

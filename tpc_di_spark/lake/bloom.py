@@ -123,10 +123,16 @@ def build_sidecar(
         raise ValueError(f"{PROP_COLUMN}={col!r} is not a table column")
 
     paths = [os.path.join(table.path, rel) for rel in rels]
+    # Filter NULL CELLS before hashing: xxhash64(NULL) returns the seed
+    # hash (non-null), so the old post-hash isNotNull() guard was dead —
+    # every NULL set the same k bits in its file's filter, inflating the
+    # false-positive rate and making the all-NULL-file claim above false.
+    # Probes refuse NULL values, so dropping NULLs here only tightens
+    # pruning; it can never hide a row.
     df = (
         table.read_files(paths)
+        .filter(F.col(col).isNotNull())
         .select(F.input_file_name().alias("_f"), *_hash_cols(F.col(col)))
-        .filter(F.col("_h1").isNotNull())
     )
 
     import pandas as pd
@@ -171,37 +177,74 @@ def build_sidecar(
     sidecar = {"column": col, "nbits": nbits, "k": k, "files": files}
     rel_out = os.path.join("_meta", f"bloom-{uuid.uuid4().hex[:12]}.json")
     table.fs.write_text(os.path.join(table.path, rel_out), json.dumps(sidecar))
-    return {"rel": rel_out, "files": rels}
+    # "column" in the INDEX ENTRY lets probes decide whether this sidecar
+    # can serve a given column without decoding its JSON (lazy probe).
+    return {"rel": rel_out, "files": rels, "column": col}
 
 
 class BloomProbe:
-    """Loaded-sidecar view of one snapshot's Bloom index, cached on the
-    table handle per snapshot id (sidecars are immutable)."""
+    """LAZY sidecar view of one snapshot's Bloom index, cached on the
+    table handle per snapshot id (sidecars are immutable).
+
+    Construction reads NO sidecar bytes: it only maps each covered file
+    rel to the sidecar that carries its filter (metadata already present
+    in the snapshot's ``bloom_index`` entries). A sidecar's JSON is
+    decoded on the first ``may_contain`` that touches one of its files,
+    then memoized — so a probe's driver allocation is bounded by the
+    sidecars its pruned file set actually consults, not by every covered
+    file in the table (VERDICT r06 #2: the eager form decoded ~1 KiB x
+    |covered files| per probe — ~100 MB at the 10^5-file design point —
+    and ``consolidate_blooms`` bounds sidecar COUNT, which now directly
+    bounds probe-time bytes per consulted sidecar group)."""
 
     def __init__(self, table, snapshot):
-        # rel -> (bits bytes, nbits, k, column). The COLUMN rides each
-        # filter: after an index-column change (unset the property,
-        # re-set to another column — the workflow the evolution guard
-        # prescribes) old-column sidecars are still carried forward
-        # while any covered file lives, and testing a new-column probe
-        # against an old-column filter would wrongly prune the file
-        # (silent missing rows). A column mismatch means "no filter for
-        # this probe" — scan.
-        self.filters: dict[str, tuple[bytes, int, int, str]] = {}
-        self.columns: set[str] = set()
+        self._table = table
+        # rel -> sidecar rel (file-level index; tiny: two interned strs).
+        self._sidecar_of: dict[str, str] = {}
+        # sidecar rel -> decoded {rel: (bits, nbits, k, col)} | None=gone
+        self._loaded: dict[str, dict | None] = {}
+        self._entry_cols: set = set()
         for entry in snapshot.bloom_index:
-            try:
-                raw = json.loads(
-                    table.fs.read_text(os.path.join(table.path, entry["rel"]))
+            # None = legacy entry without the column tag: it MIGHT cover
+            # any column, so may_prune says yes and the per-file column
+            # check in may_contain (after the lazy load) decides.
+            self._entry_cols.add(entry.get("column"))
+            for rel in entry.get("files", []):
+                self._sidecar_of[rel] = entry["rel"]
+
+    def may_prune(self, column: str) -> bool:
+        """Cheap gate: could ANY sidecar carry filters for ``column``?
+        False skips the probe-hash Spark job entirely (unindexed column
+        or unindexed table)."""
+        return any(c is None or c == column for c in self._entry_cols)
+
+    def _filters_from(self, sidecar_rel: str) -> dict | None:
+        """Decode one sidecar on first touch. The COLUMN rides each
+        filter: after an index-column change (unset the property,
+        re-set to another column — the workflow the evolution guard
+        prescribes) old-column sidecars are still carried forward
+        while any covered file lives, and testing a new-column probe
+        against an old-column filter would wrongly prune the file
+        (silent missing rows). A column mismatch means "no filter for
+        this probe" — scan."""
+        if sidecar_rel in self._loaded:
+            return self._loaded[sidecar_rel]
+        t = self._table
+        try:
+            raw = json.loads(
+                t.fs.read_text(os.path.join(t.path, sidecar_rel))
+            )
+            filters = {
+                rel: (
+                    base64.b64decode(b64), int(raw["nbits"]), int(raw["k"]),
+                    raw["column"],
                 )
-            except FileNotFoundError:
-                continue  # expired sidecar: its files read as unindexed
-            col = raw["column"]
-            self.columns.add(col)
-            for rel, b64 in raw["files"].items():
-                self.filters[rel] = (
-                    base64.b64decode(b64), int(raw["nbits"]), int(raw["k"]), col
-                )
+                for rel, b64 in raw["files"].items()
+            }
+        except FileNotFoundError:
+            filters = None  # expired sidecar: its files read as unindexed
+        self._loaded[sidecar_rel] = filters
+        return filters
 
     def may_contain(
         self, rel: str, hashes: Sequence[tuple[int, int]], column: str | None = None
@@ -211,7 +254,9 @@ class BloomProbe:
         scanned). Tests the packed bytes directly (bit i = byte i>>3,
         MSB-first — numpy packbits order): no per-call unpack allocation,
         O(k x |values|) per file at the 10^5-file design point."""
-        ent = self.filters.get(rel)
+        sc = self._sidecar_of.get(rel)
+        filters = self._filters_from(sc) if sc is not None else None
+        ent = filters.get(rel) if filters is not None else None
         if ent is None:
             return True
         bits, nbits, k, col = ent

@@ -145,6 +145,9 @@ class DerivedTableSync:
         out = {"batch_id": upto, "snapshot_id": snap.snapshot_id}
         if consumed is not None:
             out["consumed"] = sorted(consumed)
+        rb = getattr(self, "_rb_epoch", None)
+        if rb is not None:
+            out["rollback_epoch"] = rb
         return out
 
     def _after_apply(self, rec: dict, events: DataFrame) -> None:
@@ -179,6 +182,7 @@ class DerivedTableSync:
 
         from tpc_di_spark.cdc.mor import pending_delta_batches
         from tpc_di_spark.lake.incremental_view import (
+            check_rollback_invalidations,
             consumed_batch_set,
             needs_per_batch_fallback,
         )
@@ -192,6 +196,9 @@ class DerivedTableSync:
                 "the parent no longer does — delete the child table and "
                 "state dir and rebuild (rollback_to docs)"
             )
+        # Catches the case the guard above cannot: a rolled-back batch
+        # RE-APPLIED under its original id (consumed ⊆ committed again).
+        self._rb_epoch = check_rollback_invalidations(self.parent, ck, consumed)
         last = max(consumed) if consumed else 0
         pending_mor = [d["batch_id"] for d in pending_delta_batches(self.parent)]
         horizon = min(pending_mor) if pending_mor else None

@@ -123,6 +123,37 @@ def needs_per_batch_fallback(table: LakeTable, ck: dict | None) -> bool:
     )
 
 
+def check_rollback_invalidations(
+    table, ck: dict | None, consumed: set[int]
+) -> int:
+    """Refuse when a rollback since this consumer's checkpoint removed a
+    batch the consumer already folded — EVEN IF a corrected batch has
+    since re-applied under the same id (the ``consumed ⊆ committed``
+    guard alone is defeated by exactly that workflow: the id is
+    committed again, so the consumer would skip it as already-consumed
+    and silently keep the POISONED effects). ``rollback_to`` appends
+    every rollback's removed batch ids to the table's
+    ``rollback.invalidations`` log; the checkpoint records how many
+    entries it has seen. Returns the current log length for the next
+    checkpoint. Shared by every changelog consumer (IncrementalView,
+    DerivedTableSync)."""
+    invs = table.snapshot.properties.get("rollback.invalidations", [])
+    seen = (ck or {}).get("rollback_epoch", 0)
+    removed: set[int] = set()
+    for inv in invs[seen:]:
+        removed.update(inv.get("removed_batches", []))
+    hit = sorted(consumed & removed)
+    if hit:
+        raise ValueError(
+            f"table was rolled back past consumed batches {hit} (and "
+            "possibly re-applied under the same ids): this consumer's "
+            "state includes the rolled-back effects while the table's "
+            "lineage replaced them — delete the state dir and rebuild "
+            "(rollback_to docs)"
+        )
+    return len(invs)
+
+
 def consumed_batch_set(ck: dict | None, committed: list[int]) -> set[int]:
     """The batch ids this consumer has already folded into its state.
 
@@ -492,6 +523,9 @@ class IncrementalView:
                 "effects while the table no longer does — delete the "
                 "state dir and rebuild (rollback_to docs)"
             )
+        # Catches the case the guard above cannot: a rolled-back batch
+        # RE-APPLIED under its original id (consumed ⊆ committed again).
+        rb_epoch = check_rollback_invalidations(self.table, ck, consumed)
         last_batch = max(consumed) if consumed else 0
 
         # MATERIALIZATION HORIZON: consume only below the oldest pending
@@ -571,6 +605,7 @@ class IncrementalView:
                 "snapshot_id": snap.snapshot_id,
                 "state_rel": state_rel,
                 "consumed": sorted(consumed | set(pending)),
+                "rollback_epoch": rb_epoch,
             }
         )
         if ck is None and not self.fs.exists(self._ckpt_path()):

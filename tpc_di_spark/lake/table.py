@@ -58,6 +58,7 @@ reference's strictly sequential Batch2 → Batch3 model, report §4.3).
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 import uuid
@@ -232,7 +233,7 @@ class LakeTable:
             bucket_cols=list(bucket_cols or key_cols),
             files={},
             committed_batches=[],
-            summary={"operation": "create", "committed_at": round(time.time(), 3)},
+            summary={"operation": "create", "committed_at": math.floor(time.time() * 1000) / 1000},
             properties=props,
         )
         snap_name = cls._snap_name(0)
@@ -778,7 +779,7 @@ class LakeTable:
         dtype = next((f.dataType for f in snap.schema.fields if f.name == col), None)
         if dtype is None:
             raise ValueError(f"no such column {col!r}")
-        if col in probe.columns:
+        if probe.may_prune(col):
             hashes = _bloom.probe_hashes(self.spark, values, dtype)
             keep = [rel for rel in rels if probe.may_contain(rel, hashes, col)]
         else:
@@ -1128,7 +1129,7 @@ class LakeTable:
             summary={
                 **(summary or {}),
                 "batch_id": batch_id,
-                "committed_at": round(time.time(), 3),
+                "committed_at": math.floor(time.time() * 1000) / 1000,
             },
             properties=parent.properties if new_properties is None else new_properties,
             hist_manifests=manifests,
@@ -1179,6 +1180,26 @@ class LakeTable:
         if snapshot_id == parent.snapshot_id:
             return parent
         old = self.read_snapshot(snapshot_id)  # hydrated: full file maps
+        props = dict(old.properties)
+        # Rollback INVALIDATION LOG: batch ids whose effects this rollback
+        # removed, appended to the (parent-chain) log rather than the
+        # restored properties — a corrected batch re-applying under its
+        # original id would otherwise defeat the consumer divergence
+        # guard: a consumer that folded the POISONED batch and refreshes
+        # only after the re-apply sees consumed ⊆ committed and silently
+        # keeps the poisoned effects. Consumers record how many log
+        # entries they have seen (``rollback_epoch``) and refuse when a
+        # later entry names a batch they consumed (incremental_view.
+        # check_rollback_invalidations).
+        removed = sorted(set(parent.committed_batches) - set(old.committed_batches))
+        if removed:
+            invs = list(parent.properties.get("rollback.invalidations", []))
+            invs.append({
+                "removed_batches": removed,
+                "from_snapshot": parent.snapshot_id,
+                "to_snapshot": snapshot_id,
+            })
+            props["rollback.invalidations"] = invs
         snap = Snapshot(
             snapshot_id=parent.snapshot_id + 1,
             parent_id=parent.snapshot_id,
@@ -1193,9 +1214,9 @@ class LakeTable:
             summary={
                 "operation": "rollback",
                 "to": snapshot_id,
-                "committed_at": round(time.time(), 3),
+                "committed_at": math.floor(time.time() * 1000) / 1000,
             },
-            properties=dict(old.properties),
+            properties=props,
             hist_manifests=list(old.hist_manifests),
             bloom_index=list(old.bloom_index),
         )
