@@ -44,8 +44,15 @@ def value_hash(rows, cols) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from tpc_di_spark.session import get_spark
@@ -69,11 +76,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"pass": False, "error": str(e)[:200]}
             failures += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"OK?  {name}: rows={len(srows)} (no oracle, rows-only)")
+            results[name] = {"pass": None, "rows": len(srows), "note": "no oracle"}
             continue
         try:
             res = con.execute(sql)
@@ -81,6 +90,7 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"pass": False, "error": str(e)[:200]}
             failures += 1
             continue
         secs = time.monotonic() - t0
@@ -105,9 +115,30 @@ def main() -> int:
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"pass": False, "problems": problems[:4]}
         else:
             print(f"PASS {name}: rows={len(srows)} ({secs:.1f}s)")
+            results[name] = {
+                "pass": True,
+                "rows": len(srows),
+                "value_hash": value_hash(srows, scols),
+                "secs": round(secs, 1),
+            }
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "queries_checked": len(results),
+                    "failures": failures,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
