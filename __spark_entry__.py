@@ -1131,7 +1131,10 @@ def q39_fact_market_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["dm_s_symb", "dm_date"],
         [F.col("o_orderkey")],
-    ).drop("o_orderkey").persist()
+    ).drop("o_orderkey")
+    from tpc_di_spark.operators.dedup import invocation_scoped
+
+    daily = invocation_scoped(daily).persist()
     fin = o.filter(F.col("o_orderkey") % 7 == 0).select(
         F.format_string("S%03d", F.col("o_custkey") % 37).alias("dm_s_symb"),
         F.col("o_orderdate").alias("qtr_start_date"),

@@ -26,6 +26,25 @@ def normalize_text(c) -> F.Column:
     return F.regexp_replace(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+", " ")
 
 
+def invocation_scoped(df: DataFrame) -> DataFrame:
+    """Make a to-be-persisted plan unique per operator invocation.
+
+    Spark's CacheManager substitutes cached data by CANONICALIZED
+    analyzed-plan equality — across DataFrames and across queries in the
+    same session. Two invocations of an operator over the same source
+    therefore share one cache entry, which would let a later benchmark
+    query silently reuse an earlier query's cached intermediate (its
+    timed region then skips the computation it claims to measure). A
+    per-invocation literal embedded in the plan (projected away
+    immediately — the optimizer prunes it, so there is no runtime cost)
+    breaks that equality: caching still serves every consumer INSIDE one
+    invocation, and never anyone outside it."""
+    import uuid
+
+    c = f"_inv_{uuid.uuid4().hex[:8]}"
+    return df.withColumn(c, F.lit(uuid.uuid4().hex)).drop(c)
+
+
 def spread_small_input(df: DataFrame, *key_cols: str) -> DataFrame:
     """Repartition a NARROW input up to the session's parallelism before
     heavy per-row compute (tokenization, shingling, hyperplane dots).
@@ -92,7 +111,7 @@ def ngram_jaccard_pairs(
     # MEMORY_AND_DISK, sized O(corpus shingles) — fine at the small/
     # medium scale this exact verifier is documented for; the 100TB path
     # is MinHash-LSH.
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    sh = invocation_scoped(word_shingles(df, id_col, text_col, n)).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -153,8 +172,10 @@ def minhash_signatures(
     # builds its broadcast side separately, and the Jaccard estimate
     # joins them twice more) — without the cache each read re-runs the
     # whole signature computation.
-    return sig.select(
-        "doc", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("signature")
+    return invocation_scoped(
+        sig.select(
+            "doc", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("signature")
+        )
     ).persist()
 
 
@@ -181,7 +202,8 @@ def lsh_candidate_pairs(
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket")) for b in range(bands)])
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket").persist()
+    ).select("doc", "bb.band", "bb.bucket")
+    stacked = invocation_scoped(stacked).persist()
     # Persisted: the self-join's probe and (broadcast) build sides are
     # independent subtrees to Catalyst, so without the cache the banding
     # — and the signature DAG underneath when the caller's signatures
@@ -287,7 +309,8 @@ def simhash_near_dup_pairs(
     ]
     stacked = signatures.select(
         F.col(id_col).alias("doc"), sig.alias("_sig"), F.explode(F.array(*slice_structs)).alias("sl")
-    ).select("doc", "_sig", "sl.slice", "sl.val").persist()
+    ).select("doc", "_sig", "sl.slice", "sl.val")
+    stacked = invocation_scoped(stacked).persist()
     # Persisted for the same reason as lsh_candidate_pairs: the self-
     # join's two sides would otherwise re-run the SimHash aggregation
     # (64 signed sums over exploded tokens) once each.

@@ -109,9 +109,12 @@ def ivf_topk(
     # exact-DECIMAL distance work, which dominates this operator.
     # Persisted because the cell join's two sides are independent
     # subtrees to Catalyst.
-    assigned = ivf_assign(
-        emb, id_col, vec_col, centroids, keep_rank=nprobe
-    ).withColumn("_n", _norm(F.col(vec_col))).persist()
+    from tpc_di_spark.operators.dedup import invocation_scoped
+
+    assigned = invocation_scoped(
+        ivf_assign(emb, id_col, vec_col, centroids, keep_rank=nprobe)
+        .withColumn("_n", _norm(F.col(vec_col)))
+    ).persist()
     lists = assigned.filter(F.col("probe_rank") == 1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         "centroid_id", F.col("_n").alias("_nc"),

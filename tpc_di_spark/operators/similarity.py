@@ -211,7 +211,9 @@ def lsh_bucketed_topk(
         # sides are independent subtrees, so without the cache the
         # bits x exact-DECIMAL hyperplane projections (+ the norm fold)
         # run twice per table over the whole corpus.
-        bk = bk.persist()
+        from tpc_di_spark.operators.dedup import invocation_scoped
+
+        bk = invocation_scoped(bk).persist()
         a = bk.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
             F.col("_nrm").alias("_nq"), "bucket",
