@@ -232,3 +232,36 @@ def test_schema_change_stages_on_branch(spark, tmp_path):
     assert "content" in table.schema.fieldNames()
     assert current_state(table).filter("content is null").count() == 0
     assert table.is_batch_committed(2)
+
+
+def test_concurrent_audit_checks_preserve_order_and_failure(spark, tmp_path):
+    """audit() runs its checks as concurrent Spark actions; the result
+    list must still come back in input order, and a failing check among
+    concurrent passing ones must still raise AuditFailed with every
+    check's result present."""
+    import time as _time
+
+    table = _bootstrap(spark, str(tmp_path / "t"), convs=10, turns=2)
+    wap = WapBranch.begin(table, "conc")
+    CdcOrchestrator(wap.staged).apply_batch(
+        incremental_batch(spark, 2, n_events=10, n_convs=10, turns_per_conv=2), 2
+    )
+
+    def slow_ok(w):
+        _time.sleep(0.4)  # finishes LAST — must still come back FIRST
+        return {"check": "slow_ok", "ok": True}
+
+    results = wap.audit([slow_ok, unique_business_key(), not_null(["conv_id"])])
+    assert [r["check"] for r in results] == [
+        "slow_ok",
+        "unique_business_key",
+        "not_null(conv_id)",
+    ]
+    assert all(r["ok"] for r in results)
+
+    with pytest.raises(AuditFailed) as ei:
+        wap.audit([slow_ok, row_count_delta(min_delta=10_000), unique_business_key()])
+    checks = [r["check"] for r in ei.value.results]
+    assert checks == ["slow_ok", "row_count_delta", "unique_business_key"]
+    assert [r["ok"] for r in ei.value.results] == [True, False, True]
+    wap.abort()

@@ -330,9 +330,24 @@ def apply_batch_atomic(
     """
     txn = catalog.transaction()
     records = {}
-    for name, (orch, events) in sorted(work.items()):
-        records[name] = orch.apply_batch(events, batch_id)
-        txn.stage(name, orch.table)
+    items = sorted(work.items())
+    if len(items) > 1:
+        # Distinct tables, distinct commit chains: the per-table applies
+        # are independent Spark jobs — overlap them (same reasoning and
+        # crash-retry story as apply_batch_atomic_wap's staging pool;
+        # exactly-once skip of already-committed tables is per-table
+        # state and unaffected by ordering).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(items), 4)) as ex:
+            applied = list(
+                ex.map(lambda it: (it[0], it[1][0].apply_batch(it[1][1], batch_id)), items)
+            )
+    else:
+        applied = [(n, o.apply_batch(ev, batch_id)) for n, (o, ev) in items]
+    for name, rec in applied:
+        records[name] = rec
+        txn.stage(name, work[name][0].table)
     txn.commit(
         {"operation": "cdc-multi-table", "batch_id": batch_id, **(summary or {})}
     )
@@ -372,13 +387,39 @@ def apply_batch_atomic_wap(
 
     branches: dict[str, WapBranch] = {}
     records: dict[str, dict] = {}
-    for name, (orch, events) in sorted(work.items()):
-        wap = WapBranch.begin(orch.table, f"xt-batch-{batch_id:06d}")
-        records[name] = orch.for_table(wap.staged).apply_batch(events, batch_id)
-        branches[name] = wap
 
-    all_results: list[dict] = []
-    failed = False
+    def _stage(item):
+        name, (orch, events) = item
+        wap = WapBranch.begin(orch.table, f"xt-batch-{batch_id:06d}")
+        return name, wap, orch.for_table(wap.staged).apply_batch(events, batch_id)
+
+    items = sorted(work.items())
+    if len(items) > 1:
+        # Each table's slice stages onto its OWN branch of its OWN table
+        # (distinct ref files, scratch dirs, bucketed-view names), so the
+        # per-table applies are independent Spark jobs — overlap them
+        # instead of paying one merge-write latency per table serially.
+        # Crash-retry is unchanged: a failure leaves the finished tables
+        # staged on their branches, and re-calling resumes every branch
+        # at its staged head exactly as the serial loop did.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(items), 4)) as ex:
+            staged = list(ex.map(_stage, items))
+    else:
+        staged = [_stage(i) for i in items]
+    for name, wap, rec in staged:
+        branches[name] = wap
+        records[name] = rec
+
+    from tpc_di_spark.lake.wap import _run_checks
+
+    # Flatten every table's checks into ONE concurrent pool (audits are
+    # independent read-only counts over staged state; serially they
+    # dominated multi-table publish wall time), then reassemble results
+    # in the exact per-table order the serial loop produced.
+    published: set[str] = set()
+    pending: list[tuple[str, WapBranch, Callable]] = []
     for name, wap in sorted(branches.items()):
         ref = wap.staged._read_ref()
         if ref["head_id"] == ref["fork_id"] and wap.base.is_batch_committed(
@@ -386,14 +427,24 @@ def apply_batch_atomic_wap(
         ):
             # Crash-retry: this table already published this batch; its
             # audit passed before that publish. Nothing staged to audit.
+            published.add(name)
+            continue
+        for c in audit_checks.get(name, []) if audit_checks else []:
+            pending.append((name, wap, c))
+    check_results = _run_checks([(w, c) for _n, w, c in pending])
+
+    all_results: list[dict] = []
+    failed = False
+    for name, _wap in sorted(branches.items()):
+        if name in published:
             all_results.append(
                 {"check": "already-published", "ok": True, "table": name}
             )
             continue
-        for r in wap.audit(audit_checks.get(name, []) if audit_checks else [],
-                           raise_on_fail=False):
-            all_results.append({**r, "table": name})
-            failed = failed or not r["ok"]
+        for (n, _w, _c), r in zip(pending, check_results):
+            if n == name:
+                all_results.append({**r, "table": name})
+                failed = failed or not r["ok"]
 
     if failed:
         for wap in branches.values():

@@ -198,7 +198,7 @@ class WapBranch:
     ) -> list[dict]:
         """Run checks against the STAGED state (each check returns
         ``{"check": name, "ok": bool, ...detail}``)."""
-        results = [c(self) for c in checks]
+        results = _run_checks([(self, c) for c in checks])
         if raise_on_fail and any(not r["ok"] for r in results):
             raise AuditFailed(results)
         return results
@@ -369,6 +369,26 @@ def live_branch_files(table: LakeTable) -> set[str]:
                 for fl in b["files"].values():
                     live.update(fl)
     return live
+
+
+def _run_checks(pairs: Sequence[tuple["WapBranch", Callable]]) -> list[dict]:
+    """Run independent (branch, check) pairs as CONCURRENT Spark actions.
+
+    Each audit check is a small read-only count job over staged state;
+    run serially they pay one full job-scheduling round trip each (the
+    audits of a 3-check publish were ~40% of its wall time at bench
+    scale). Submitting them from a small thread pool lets the scheduler
+    overlap them — results return in input order, and a check that
+    raises re-raises here exactly as the serial loop did (after the
+    other in-flight checks finish; checks are read-only so the extra
+    completed work is harmless)."""
+    if len(pairs) <= 1:
+        return [c(w) for w, c in pairs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(pairs), 4)) as ex:
+        futs = [ex.submit(c, w) for w, c in pairs]
+        return [f.result() for f in futs]
 
 
 # ------------------------------------------------------------ audit checks
