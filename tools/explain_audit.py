@@ -35,7 +35,7 @@ AUDITS = [
     ("q60_late_batch_replay", "the SERVING read after out-of-order repair is the standard current-family bucket scan + is_current filter — the supersession anti-join (file-skipped changed-keys scan + one broadcast/shuffle anti-join) was paid at late-apply time and leaves no trace in the read plan"),
     ("q61_scd2_lineage", "the full-lineage read is ONE scan over both file families with a residual batch_id>0 filter (tombstone exclusion) — version chains are materialized by the merge at write time, so lineage service needs no window or join"),
     ("q62_asof_travel", "as-of resolution is metadata-only (a parent-chain walk over snapshot JSONs, no Spark job): the plan is the pinned snapshot's plain current-family scan + is_current filter, identical in shape to a head read"),
-    ("q63_conversation_export", "ONE hash Exchange on conv_id serving BOTH the LWW window (ClusteredDistribution(conv_id, turn_idx) satisfied by the conv_id partitioning) and the assembly groupBy(collect_list -> array_sort/transform/array_join, all JVM) — no UDF, no second shuffle; deliberately UNsalted (the document needs the whole bounded-length conversation on one reducer)"),
+    ("q63_conversation_export", "ONE hash Exchange on conv_id serving BOTH the LWW window (ClusteredDistribution(conv_id, turn_idx) satisfied by the conv_id partitioning) and the assembly groupBy(collect_list -> array_sort/transform/array_join, all JVM) — no UDF, no second shuffle between the window and the aggregation; deliberately UNsalted (the document needs the whole bounded-length conversation on one reducer). The exchange below the window is the r07 scan-spread repartition (the one-file events scan would otherwise derive single-threaded; strict no-op at scale)"),
 ]
 
 
@@ -150,7 +150,9 @@ def _cdc_merge_plan_section(spark) -> list[str]:
             "**Must show:** catalog-bucketed target scan with NO Exchange",
             "above it; exactly ONE Exchange in the whole merge (the",
             "events' bucket-layout repartition, which also feeds the LWW",
-            "groupBy); full-outer SMJ emitting history ∪ kept ∪ closed ∪",
+            "groupBy); full-outer ShuffledHashJoin (r07 C1: hash build is",
+            "batch-bounded, replacing the SMJ's per-task sort of the",
+            "unsorted bucketed target scan) emitting history ∪ kept ∪ closed ∪",
             "new-current in one pass; downstream family-split write runs",
             "with assume_bucket_partitioned (no write-side exchange).",
             "",
